@@ -1,0 +1,352 @@
+"""Batched primal-dual interior-point NLP solver (the IPOPT replacement).
+
+The reference hands its transcribed NLP to IPOPT + MUMPS
+(``/root/reference/Lpopc/src/Core/LpopcIpopt.cpp``, ``LpNLPSolver.cpp``) —
+a single-threaded CPU interior-point method with sparse LDLᵀ factorization.
+This module re-designs that capability TPU-first:
+
+* The whole solve is **one pure JAX function** — jit-able, vmap-able over
+  problem instances, and differentiable in principle. Thousands of perturbed
+  instances (different bounds / guesses) run in lockstep on one chip via
+  ``vmap``, and across chips via ``shard_map`` (see ``lpopc_tpu.parallel``).
+* The KKT system is **condensed to a symmetric positive-definite matrix**
+  ``K = H + Σ + δI + Jᵀ D J`` (slacks and bound duals eliminated
+  analytically), factorized by dense Cholesky — a pure MXU workload — instead
+  of sparse LDLᵀ with pivoting, which does not map to the MXU at all. The
+  dual regularization ``δc`` makes the condensation exact for equality rows.
+* Inertia correction is **factorization-driven**: a Cholesky failure (NaN on
+  the diagonal) triggers a primal regularization ``δw`` increase inside a
+  ``lax.while_loop`` — no data-dependent Python control flow.
+* Formulation follows the standard primal-dual method with slacks on every
+  constraint row, logarithmic barriers on finite bounds only, a
+  fraction-to-boundary rule, an Armijo backtracking line search on the
+  barrier + ℓ1-penalty merit function, the monotone Fiacco–McCormick barrier
+  schedule (μ ← min(κμ μ, μ^θμ)), and IPOPT-style dual safeguards.
+
+Per-instance solver status (mirroring the reference's ``ocpstatus`` enum,
+``LpLpopcAlgorithm.hpp:33-40``) ensures diverged instances never poison a
+batch: converged/failed instances freeze while the rest keep iterating.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .problem import INF
+
+# status codes
+RUNNING = 0
+SOLVED = 1
+MAX_ITER = 2
+FAILED = 3
+
+_BIG = 1e20          # "infinite" Σ entry pinning fixed variables
+_INF_CUT = 1e19      # bounds beyond this are treated as absent
+
+
+@dataclass(frozen=True)
+class IPMOptions:
+    tol: float = 1e-8            # reference default Ipopt-tol is 1e-6
+    max_iter: int = 200
+    mu_init: float = 1e-1
+    kappa_mu: float = 0.2        # linear mu decrease factor
+    theta_mu: float = 1.5        # superlinear mu decrease exponent
+    kappa_eps: float = 10.0      # barrier-problem tolerance = kappa_eps * mu
+    tau_min: float = 0.99        # fraction-to-boundary
+    kappa_1: float = 1e-2        # initial-point push-in
+    s_max: float = 100.0         # residual scaling threshold
+    kappa_sigma: float = 1e10    # dual safeguard
+    delta_w0: float = 1e-4       # first nonzero primal regularization
+    delta_w_max: float = 1e20
+    delta_c: float = 1e-8        # dual (constraint) regularization
+    eta_phi: float = 1e-4        # Armijo constant
+    max_ls: int = 20             # max line-search halvings
+    max_reg: int = 30            # max regularization increases per iteration
+    max_refine: int = 1          # iterative-refinement rounds on the KKT step
+
+
+class IPMResult(NamedTuple):
+    z: jnp.ndarray
+    s: jnp.ndarray
+    lam: jnp.ndarray            # equality multipliers (constraint rows)
+    zl_dual: jnp.ndarray        # bound duals on [z; s], lower
+    zu_dual: jnp.ndarray
+    status: jnp.ndarray         # () int32
+    iterations: jnp.ndarray     # () int32
+    objective: jnp.ndarray
+    kkt_error: jnp.ndarray
+    mu: jnp.ndarray
+    delta_w: jnp.ndarray
+
+
+def _masked_min(vals, mask, fill=jnp.inf):
+    return jnp.min(jnp.where(mask, vals, fill))
+
+
+def build_solver(
+    objective: Callable,
+    constraints: Callable,
+    n: int,
+    m: int,
+    options: IPMOptions = IPMOptions(),
+) -> Callable:
+    """Return ``solve(z0, zl, zu, cl, cu) -> IPMResult`` (pure; jit/vmap-able).
+
+    Bounds are runtime arguments so an instance sweep (perturbed initial
+    conditions, terminal sets, pinned parameters) is just a ``vmap`` over
+    them.
+    """
+    opt = options
+    grad_f = jax.grad(objective)
+
+    def lagrangian(z, lam):
+        return objective(z) + jnp.dot(lam, constraints(z))
+
+    hess_l = jax.hessian(lagrangian, argnums=0)
+    jac_c = jax.jacfwd(constraints)
+
+    def solve(z0, zl, zu, cl, cu):
+        dtype = z0.dtype
+        wl = jnp.concatenate([zl, cl]).astype(dtype)
+        wu = jnp.concatenate([zu, cu]).astype(dtype)
+        fixed = (wu - wl) <= 1e-14
+        has_lo = (wl > -_INF_CUT) & ~fixed
+        has_up = (wu < _INF_CUT) & ~fixed
+
+        def gaps(w):
+            gl = jnp.where(has_lo, w - wl, 1.0)
+            gu = jnp.where(has_up, wu - w, 1.0)
+            return gl, gu
+
+        def push_inside(v, lo, hi):
+            # IPOPT-style strict interior push (kappa_1 = kappa_2 = 1e-2).
+            span = hi - lo
+            pl = jnp.minimum(opt.kappa_1 * jnp.maximum(1.0, jnp.abs(lo)), opt.kappa_1 * span)
+            pu = jnp.minimum(opt.kappa_1 * jnp.maximum(1.0, jnp.abs(hi)), opt.kappa_1 * span)
+            lo_eff = jnp.where(lo > -_INF_CUT, lo + pl, lo)
+            hi_eff = jnp.where(hi < _INF_CUT, hi - pu, hi)
+            return jnp.clip(v, jnp.minimum(lo_eff, hi_eff), jnp.maximum(lo_eff, hi_eff))
+
+        # ----- initialization -----
+        z_init = jnp.where(fixed[:n], wl[:n], push_inside(z0, zl, zu))
+        c0 = constraints(z_init)
+        s_init = jnp.where(fixed[n:], wl[n:], push_inside(c0, cl, cu))
+        w0 = jnp.concatenate([z_init, s_init])
+        mu0 = jnp.asarray(opt.mu_init, dtype)
+        gl0, gu0 = gaps(w0)
+        zl_d0 = jnp.where(has_lo, mu0 / gl0, 0.0)
+        zu_d0 = jnp.where(has_up, mu0 / gu0, 0.0)
+        lam0 = jnp.zeros((m,), dtype)
+
+        nb = jnp.sum(has_lo) + jnp.sum(has_up)
+
+        def kkt_error(w, lam, zl_d, zu_d, mu):
+            """IPOPT's scaled optimality error E_mu (eq. 5 of the IPOPT paper)."""
+            z = w[:n]
+            g = jnp.concatenate([grad_f(z), jnp.zeros((m,), dtype)])
+            J = jac_c(z)
+            jt_lam = jnp.concatenate([J.T @ lam, -lam])
+            r_d = g + jt_lam - jnp.where(has_lo, zl_d, 0.0) + jnp.where(has_up, zu_d, 0.0)
+            r_d = jnp.where(fixed, 0.0, r_d)
+            r_p = constraints(z) - w[n:]
+            gl, gu = gaps(w)
+            comp_l = jnp.where(has_lo, zl_d * gl - mu, 0.0)
+            comp_u = jnp.where(has_up, zu_d * gu - mu, 0.0)
+            dual_norm = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(zl_d)) + jnp.sum(jnp.abs(zu_d))
+            denom = jnp.maximum(1.0, (m + nb)).astype(dtype)
+            s_d = jnp.maximum(opt.s_max, dual_norm / denom) / opt.s_max
+            s_c = jnp.maximum(opt.s_max, (jnp.sum(jnp.abs(zl_d)) + jnp.sum(jnp.abs(zu_d))) / jnp.maximum(1.0, nb)) / opt.s_max
+            e_d = jnp.max(jnp.abs(r_d)) / s_d
+            e_p = jnp.max(jnp.abs(r_p)) if m > 0 else jnp.zeros((), dtype)
+            e_c = jnp.maximum(jnp.max(jnp.abs(comp_l)), jnp.max(jnp.abs(comp_u))) / s_c
+            return jnp.maximum(jnp.maximum(e_d, e_p), e_c)
+
+        def barrier_phi(w, mu):
+            gl, gu = gaps(w)
+            return (
+                objective(w[:n])
+                - mu * jnp.sum(jnp.where(has_lo, jnp.log(gl), 0.0))
+                - mu * jnp.sum(jnp.where(has_up, jnp.log(gu), 0.0))
+            )
+
+        def theta(w):
+            return jnp.sum(jnp.abs(constraints(w[:n]) - w[n:]))
+
+        # ----- one interior-point iteration -----
+        def step(state):
+            (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status) = state
+            z = w[:n]
+            gl, gu = gaps(w)
+            g_z = grad_f(z)
+            J = jac_c(z)
+            H = hess_l(z, lam)
+            c_val = constraints(z)
+            r_p = c_val - w[n:]
+
+            sigma = jnp.where(has_lo, zl_d / gl, 0.0) + jnp.where(has_up, zu_d / gu, 0.0)
+            sigma = jnp.where(fixed, _BIG, sigma)
+            sigma_z, sigma_s = sigma[:n], sigma[n:]
+
+            # mu-perturbed dual residuals (a: z rows, b: s rows)
+            mu_term = -jnp.where(has_lo, mu / gl, 0.0) + jnp.where(has_up, mu / gu, 0.0)
+            a = g_z + J.T @ lam + mu_term[:n]
+            a = jnp.where(fixed[:n], 0.0, a)
+            b = -lam + mu_term[n:]
+            b = jnp.where(fixed[n:], 0.0, b)
+
+            delta_c = opt.delta_c
+
+            def make_step(delta_w):
+                sig_s = sigma_s + delta_w
+                d = sig_s / (1.0 + delta_c * sig_s)
+                K = H + jnp.diag(sigma_z + delta_w) + (J.T * d) @ J
+                L = jnp.linalg.cholesky(K)
+                rhs = -(a + J.T @ (d * (r_p + b / sig_s)))
+                dz = jax.scipy.linalg.cho_solve((L, True), rhs)
+                ok = jnp.all(jnp.isfinite(jnp.diagonal(L))) & jnp.all(jnp.isfinite(dz))
+                # iterative refinement on the condensed system
+                def refine(dz):
+                    res = rhs - (K @ dz)
+                    return dz + jax.scipy.linalg.cho_solve((L, True), res)
+                for _ in range(opt.max_refine):
+                    dz = jnp.where(ok, refine(dz), dz)
+                dlam = d * (J @ dz + r_p + b / sig_s)
+                ds = (dlam - b) / sig_s
+                ds = jnp.where(fixed[n:], 0.0, ds)
+                dz = jnp.where(fixed[:n], 0.0, dz)
+                return dz, ds, dlam, ok
+
+            # regularization loop: grow delta_w until the factorization succeeds
+            def reg_cond(carry):
+                k, delta_w, _, _, _, ok = carry
+                return (~ok) & (k < opt.max_reg)
+
+            def reg_body(carry):
+                k, delta_w, _, _, _, _ = carry
+                dz, ds, dlam, ok = make_step(delta_w)
+                next_delta = jnp.where(
+                    delta_w == 0.0,
+                    jnp.maximum(opt.delta_w0, delta_last / 3.0),
+                    delta_w * 10.0,
+                )
+                return (k + 1, next_delta, dz, ds, dlam, ok)
+
+            zeros_n = jnp.zeros((n,), dtype)
+            zeros_m = jnp.zeros((m,), dtype)
+            k0 = (0, jnp.zeros((), dtype), zeros_n, zeros_m, zeros_m, jnp.asarray(False))
+            k, delta_next, dz, ds, dlam, ok = jax.lax.while_loop(reg_cond, reg_body, k0)
+            delta_used = jnp.where(k > 1, delta_next / 10.0, 0.0)
+
+            dw = jnp.concatenate([dz, ds])
+            dzl_d = jnp.where(has_lo, mu / gl - zl_d - zl_d * dw / gl, 0.0)
+            dzu_d = jnp.where(has_up, mu / gu - zu_d + zu_d * dw / gu, 0.0)
+
+            # fraction-to-boundary
+            tau = jnp.maximum(opt.tau_min, 1.0 - mu)
+            alpha_l = _masked_min(-tau * gl / jnp.minimum(dw, -1e-300), has_lo & (dw < 0))
+            alpha_u = _masked_min(tau * gu / jnp.maximum(dw, 1e-300), has_up & (dw > 0))
+            alpha_max = jnp.clip(jnp.minimum(alpha_l, alpha_u), 0.0, 1.0)
+            a_zl = _masked_min(-tau * zl_d / jnp.minimum(dzl_d, -1e-300), has_lo & (dzl_d < 0))
+            a_zu = _masked_min(-tau * zu_d / jnp.minimum(dzu_d, -1e-300), has_up & (dzu_d < 0))
+            alpha_dual = jnp.clip(jnp.minimum(a_zl, a_zu), 0.0, 1.0)
+
+            # merit line search (barrier + l1 penalty)
+            lam_trial_inf = jnp.max(jnp.abs(lam + dlam)) if m > 0 else jnp.zeros((), dtype)
+            nu_new = jnp.maximum(nu, 2.0 * lam_trial_inf + 1.0)
+            phi0 = barrier_phi(w, mu)
+            th0 = theta(w)
+            gl_safe = jnp.where(has_lo, gl, 1.0)
+            gu_safe = jnp.where(has_up, gu, 1.0)
+            grad_phi = (
+                jnp.concatenate([g_z, jnp.zeros((m,), dtype)])
+                - jnp.where(has_lo, mu / gl_safe, 0.0)
+                + jnp.where(has_up, mu / gu_safe, 0.0)
+            )
+            dpsi = jnp.dot(jnp.where(fixed, 0.0, grad_phi), dw) - nu_new * th0
+
+            def ls_cond(carry):
+                j, alpha, accepted = carry
+                return (~accepted) & (j < opt.max_ls)
+
+            def ls_body(carry):
+                j, alpha, _ = carry
+                w_t = w + alpha * dw
+                psi_t = barrier_phi(w_t, mu) + nu_new * theta(w_t)
+                ok_t = jnp.isfinite(psi_t) & (
+                    psi_t <= phi0 + nu_new * th0 + opt.eta_phi * alpha * dpsi
+                )
+                return (j + 1, jnp.where(ok_t, alpha, alpha * 0.5), ok_t)
+
+            j0 = (0, alpha_max, jnp.asarray(False))
+            # If the search fails, the final (tiny) alpha is taken anyway —
+            # safeguarded by the next iteration's regularization; FAILED is
+            # flagged only on non-finite steps.
+            jj, alpha, accepted = jax.lax.while_loop(ls_cond, ls_body, j0)
+
+            w_new = w + alpha * dw
+            lam_new = lam + alpha * dlam
+            zl_new = zl_d + alpha_dual * dzl_d
+            zu_new = zu_d + alpha_dual * dzu_d
+
+            # dual safeguard (IPOPT eq. 16)
+            gl_n, gu_n = gaps(w_new)
+            zl_new = jnp.where(
+                has_lo,
+                jnp.clip(zl_new, mu / (opt.kappa_sigma * gl_n), opt.kappa_sigma * mu / gl_n),
+                0.0,
+            )
+            zu_new = jnp.where(
+                has_up,
+                jnp.clip(zu_new, mu / (opt.kappa_sigma * gu_n), opt.kappa_sigma * mu / gu_n),
+                0.0,
+            )
+
+            bad = ~(jnp.all(jnp.isfinite(w_new)) & jnp.all(jnp.isfinite(lam_new)) & ok)
+            w_new = jnp.where(bad, w, w_new)
+            lam_new = jnp.where(bad, lam, lam_new)
+            zl_new = jnp.where(bad, zl_d, zl_new)
+            zu_new = jnp.where(bad, zu_d, zu_new)
+
+            # barrier update: tighten mu once the barrier problem is solved
+            e_mu = kkt_error(w_new, lam_new, zl_new, zu_new, mu)
+            mu_min = jnp.asarray(max(1e-13, opt.tol / 100.0), dtype)
+            mu_next = jnp.where(
+                e_mu <= opt.kappa_eps * mu,
+                jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
+                mu,
+            )
+
+            e_0 = kkt_error(w_new, lam_new, zl_new, zu_new, jnp.zeros((), dtype))
+            status_new = jnp.where(e_0 <= opt.tol, SOLVED, status)
+            status_new = jnp.where(bad & (it > 2), FAILED, status_new)
+            status_new = jnp.where(
+                (it + 1 >= opt.max_iter) & (status_new == RUNNING), MAX_ITER, status_new
+            )
+            return (w_new, lam_new, zl_new, zu_new, mu_next, nu_new, delta_used, it + 1, status_new)
+
+        def loop_cond(state):
+            return state[-1] == RUNNING
+
+        state0 = (
+            w0, lam0, zl_d0, zu_d0, mu0,
+            jnp.asarray(1.0, dtype),           # nu
+            jnp.zeros((), dtype),              # delta_last
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(RUNNING, jnp.int32),
+        )
+        w, lam, zl_d, zu_d, mu, nu, delta_last, it, status = jax.lax.while_loop(
+            loop_cond, step, state0
+        )
+        e_final = kkt_error(w, lam, zl_d, zu_d, jnp.zeros((), dtype))
+        return IPMResult(
+            z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
+            status=status, iterations=it,
+            objective=objective(w[:n]), kkt_error=e_final,
+            mu=mu, delta_w=delta_last,
+        )
+
+    return solve
