@@ -62,11 +62,22 @@ class IPMOptions:
     kappa_sigma: float = 1e10    # dual safeguard
     delta_w0: float = 1e-4       # first nonzero primal regularization
     delta_w_max: float = 1e20
-    delta_c: float = 1e-8        # dual (constraint) regularization
+    # Dual (constraint) regularization. This is also the condensation penalty
+    # for equality rows (d = 1/delta_c): kept moderate so cond(K) stays within
+    # f64 range on stiff meshes; the full-KKT iterative refinement below
+    # removes the O(delta_c) step perturbation (HyKKT / Golub-Greif gamma
+    # strategy: gamma = 1/delta_c only needs to exceed ||S||).
+    delta_c: float = 1e-6
     eta_phi: float = 1e-4        # Armijo constant
+    gamma_theta: float = 1e-5    # filter margin on constraint violation
+    gamma_phi: float = 1e-8     # filter margin on barrier objective
+    s_theta: float = 1.1         # switching-condition exponents (IPOPT defaults)
+    s_phi: float = 2.3
+    delta_sw: float = 1.0        # switching-condition scale
     max_ls: int = 20             # max line-search halvings
     max_reg: int = 30            # max regularization increases per iteration
     max_refine: int = 1          # iterative-refinement rounds on the KKT step
+    record_history: bool = False # per-iteration (kkt, mu, alpha, delta) trace
 
 
 class IPMResult(NamedTuple):
@@ -81,6 +92,7 @@ class IPMResult(NamedTuple):
     kkt_error: jnp.ndarray
     mu: jnp.ndarray
     delta_w: jnp.ndarray
+    history: dict | None = None  # populated when options.record_history
 
 
 def _masked_min(vals, mask, fill=jnp.inf):
@@ -176,9 +188,15 @@ def build_solver(
         def theta(w):
             return jnp.sum(jnp.abs(constraints(w[:n]) - w[n:]))
 
+        theta0_init = theta(w0)
+        theta_min = 1e-4 * jnp.maximum(1.0, theta0_init)
+        theta_max = 1e4 * jnp.maximum(1.0, theta0_init)
+        n_filter = opt.max_iter + 1
+
         # ----- one interior-point iteration -----
         def step(state):
-            (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status) = state
+            (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
+             f_theta, f_phi, f_count, delta_start) = state
             z = w[:n]
             gl, gu = gaps(w)
             g_z = grad_f(z)
@@ -201,21 +219,59 @@ def build_solver(
             delta_c = opt.delta_c
 
             def make_step(delta_w):
-                sig_s = sigma_s + delta_w
+                sig_s = sigma_s + delta_w                    # Ŝ
                 d = sig_s / (1.0 + delta_c * sig_s)
-                K = H + jnp.diag(sigma_z + delta_w) + (J.T * d) @ J
+                wdiag = sigma_z + delta_w
+                K = H + jnp.diag(wdiag) + (J.T * d) @ J
                 L = jnp.linalg.cholesky(K)
-                rhs = -(a + J.T @ (d * (r_p + b / sig_s)))
-                dz = jax.scipy.linalg.cho_solve((L, True), rhs)
-                ok = jnp.all(jnp.isfinite(jnp.diagonal(L))) & jnp.all(jnp.isfinite(dz))
-                # iterative refinement on the condensed system
-                def refine(dz):
-                    res = rhs - (K @ dz)
-                    return dz + jax.scipy.linalg.cho_solve((L, True), res)
-                for _ in range(opt.max_refine):
-                    dz = jnp.where(ok, refine(dz), dz)
-                dlam = d * (J @ dz + r_p + b / sig_s)
-                ds = (dlam - b) / sig_s
+
+                def csolve(ra, rb, rc):
+                    """Solve the delta_c-regularized Newton system
+                    [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
+                    W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
+                    rhs = ra + J.T @ (d * (rc + rb / sig_s))
+                    dz_ = jax.scipy.linalg.cho_solve((L, True), rhs)
+                    dz_ = dz_ + jax.scipy.linalg.cho_solve((L, True), rhs - K @ dz_)
+                    dlam_ = d * (J @ dz_ - rc - rb / sig_s)
+                    ds_ = (dlam_ + rb) / sig_s
+                    return dz_, ds_, dlam_
+
+                # Indefiniteness detection. XLA's Cholesky (unlike LAPACK) can
+                # complete WITHOUT NaNs on an indefinite matrix, silently
+                # producing the factor of a different (PSD) matrix — so NaN
+                # checks alone are not a valid inertia test. Instead exploit
+                # iterative refinement: with M = LLᵀ the iteration contracts
+                # iff ρ(I - M⁻¹K) < 1, which fails whenever K has meaningful
+                # negative curvature (M PSD ⇒ some eigenvalue of M⁻¹K ≤ 0 ⇒
+                # divergence). A growing refinement residual flags indefinite
+                # K and triggers the δw regularization search.
+                rhs0 = -a - J.T @ (d * (r_p + b / sig_s))
+                dz0 = jax.scipy.linalg.cho_solve((L, True), rhs0)
+                r0 = jnp.max(jnp.abs(rhs0 - K @ dz0))
+                dz1 = dz0 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz0)
+                dz1 = dz1 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz1)
+                r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
+                ok = (
+                    jnp.all(jnp.isfinite(jnp.diagonal(L)))
+                    & (jnp.min(jnp.diagonal(L)) > 0.0)
+                    & jnp.all(jnp.isfinite(dz1))
+                    & (r_end <= 1.2 * r0 + 1e-300)
+                )
+
+                dz, ds, dlam = csolve(-a, -b, -r_p)
+                # Full-KKT iterative refinement: correct the step against the
+                # TRUE Newton system (no delta_c on the constraint row), using
+                # the condensed factorization as the solver. Removes both the
+                # penalty perturbation on equality rows and rounding error.
+                for _ in range(max(1, opt.max_refine)):
+                    e1 = -a - (H @ dz + wdiag * dz + J.T @ dlam)
+                    e1 = jnp.where(fixed[:n], 0.0, e1)
+                    e2 = jnp.where(fixed[n:], 0.0, -b - (sig_s * ds - dlam))
+                    e3 = -r_p - (J @ dz - ds)
+                    cz, cs, clam = csolve(e1, e2, e3)
+                    dz = dz + cz
+                    ds = ds + cs
+                    dlam = dlam + clam
                 ds = jnp.where(fixed[n:], 0.0, ds)
                 dz = jnp.where(fixed[:n], 0.0, dz)
                 return dz, ds, dlam, ok
@@ -237,9 +293,11 @@ def build_solver(
 
             zeros_n = jnp.zeros((n,), dtype)
             zeros_m = jnp.zeros((m,), dtype)
-            k0 = (0, jnp.zeros((), dtype), zeros_n, zeros_m, zeros_m, jnp.asarray(False))
+            k0 = (0, delta_start, zeros_n, zeros_m, zeros_m, jnp.asarray(False))
             k, delta_next, dz, ds, dlam, ok = jax.lax.while_loop(reg_cond, reg_body, k0)
-            delta_used = jnp.where(k > 1, delta_next / 10.0, 0.0)
+            delta_used = jnp.where(
+                k > 1, delta_next / 10.0, delta_start
+            )
 
             dw = jnp.concatenate([dz, ds])
             dzl_d = jnp.where(has_lo, mu / gl - zl_d - zl_d * dw / gl, 0.0)
@@ -254,9 +312,12 @@ def build_solver(
             a_zu = _masked_min(-tau * zu_d / jnp.minimum(dzu_d, -1e-300), has_up & (dzu_d < 0))
             alpha_dual = jnp.clip(jnp.minimum(a_zl, a_zu), 0.0, 1.0)
 
-            # merit line search (barrier + l1 penalty)
-            lam_trial_inf = jnp.max(jnp.abs(lam + dlam)) if m > 0 else jnp.zeros((), dtype)
-            nu_new = jnp.maximum(nu, 2.0 * lam_trial_inf + 1.0)
+            # ----- filter line search (IPOPT-style, Waechter-Biegler) -----
+            # Accept a trial if it improves feasibility theta or barrier phi
+            # relative to the current point AND is not dominated by a filter
+            # entry; near feasibility (switching condition) demand Armijo
+            # decrease of phi. This is what lets steps through when an l1
+            # merit function would reject everything (Maratos-type stalls).
             phi0 = barrier_phi(w, mu)
             th0 = theta(w)
             gl_safe = jnp.where(has_lo, gl, 1.0)
@@ -266,26 +327,68 @@ def build_solver(
                 - jnp.where(has_lo, mu / gl_safe, 0.0)
                 + jnp.where(has_up, mu / gu_safe, 0.0)
             )
-            dpsi = jnp.dot(jnp.where(fixed, 0.0, grad_phi), dw) - nu_new * th0
+            dphi = jnp.dot(jnp.where(fixed, 0.0, grad_phi), dw)
+            dpsi = dphi  # recorded in history
+            filter_active = (
+                jnp.arange(n_filter) < f_count
+            )
+
+            def trial_ok(alpha):
+                w_t = w + alpha * dw
+                th_t = theta(w_t)
+                phi_t = barrier_phi(w_t, mu)
+                finite = jnp.isfinite(th_t) & jnp.isfinite(phi_t)
+                dominated = jnp.any(
+                    filter_active & (th_t >= f_theta) & (phi_t >= f_phi)
+                )
+                switching = (dphi < 0.0) & (
+                    alpha * (-dphi) ** opt.s_phi
+                    > opt.delta_sw * th0 ** opt.s_theta
+                )
+                armijo = phi_t <= phi0 + opt.eta_phi * alpha * dphi
+                progress = (th_t <= (1.0 - opt.gamma_theta) * th0) | (
+                    phi_t <= phi0 - opt.gamma_phi * th0
+                )
+                use_armijo = (th0 <= theta_min) & switching
+                acceptable = jnp.where(use_armijo, armijo, progress)
+                return (
+                    finite
+                    & (th_t <= theta_max)
+                    & ~dominated
+                    & acceptable,
+                    use_armijo & armijo,
+                )
 
             def ls_cond(carry):
-                j, alpha, accepted = carry
+                j, alpha, accepted, _ = carry
                 return (~accepted) & (j < opt.max_ls)
 
             def ls_body(carry):
-                j, alpha, _ = carry
-                w_t = w + alpha * dw
-                psi_t = barrier_phi(w_t, mu) + nu_new * theta(w_t)
-                ok_t = jnp.isfinite(psi_t) & (
-                    psi_t <= phi0 + nu_new * th0 + opt.eta_phi * alpha * dpsi
-                )
-                return (j + 1, jnp.where(ok_t, alpha, alpha * 0.5), ok_t)
+                j, alpha, _, _ = carry
+                ok_t, armijo_case = trial_ok(alpha)
+                return (j + 1, jnp.where(ok_t, alpha, alpha * 0.5), ok_t, armijo_case)
 
-            j0 = (0, alpha_max, jnp.asarray(False))
-            # If the search fails, the final (tiny) alpha is taken anyway —
-            # safeguarded by the next iteration's regularization; FAILED is
-            # flagged only on non-finite steps.
-            jj, alpha, accepted = jax.lax.while_loop(ls_cond, ls_body, j0)
+            j0 = (0, alpha_max, jnp.asarray(False), jnp.asarray(False))
+            # If the search fails, the final (tiny) alpha is taken anyway and
+            # the next iteration starts its regularization search from a
+            # boosted delta; FAILED is flagged only on non-finite steps.
+            jj, alpha, accepted, armijo_case = jax.lax.while_loop(ls_cond, ls_body, j0)
+
+            # filter augmentation: whenever acceptance did not come from the
+            # Armijo case, block this (theta, phi) region from future returns
+            augment = accepted & ~armijo_case
+            slot_f = jnp.minimum(f_count, n_filter - 1)
+            f_theta = jnp.where(
+                augment,
+                f_theta.at[slot_f].set((1.0 - opt.gamma_theta) * th0),
+                f_theta,
+            )
+            f_phi = jnp.where(
+                augment,
+                f_phi.at[slot_f].set(phi0 - opt.gamma_phi * th0),
+                f_phi,
+            )
+            f_count = jnp.where(augment, f_count + 1, f_count)
 
             w_new = w + alpha * dw
             lam_new = lam + alpha * dlam
@@ -319,6 +422,8 @@ def build_solver(
                 jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
                 mu,
             )
+            # the filter is tied to phi_mu: reset it on barrier updates (IPOPT does)
+            f_count = jnp.where(mu_next != mu, 0, f_count)
 
             e_0 = kkt_error(w_new, lam_new, zl_new, zu_new, jnp.zeros((), dtype))
             status_new = jnp.where(e_0 <= opt.tol, SOLVED, status)
@@ -326,27 +431,63 @@ def build_solver(
             status_new = jnp.where(
                 (it + 1 >= opt.max_iter) & (status_new == RUNNING), MAX_ITER, status_new
             )
-            return (w_new, lam_new, zl_new, zu_new, mu_next, nu_new, delta_used, it + 1, status_new)
+            slot = jnp.minimum(it, hist["kkt"].shape[0] - 1)
+            lin_err = jnp.max(jnp.abs(J @ dz - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
+            hist_new = {
+                "kkt": hist["kkt"].at[slot].set(e_0),
+                "mu": hist["mu"].at[slot].set(mu),
+                "alpha": hist["alpha"].at[slot].set(alpha),
+                "alpha_max": hist["alpha_max"].at[slot].set(alpha_max),
+                "delta_w": hist["delta_w"].at[slot].set(delta_used),
+                "theta": hist["theta"].at[slot].set(theta(w_new)),
+                "ls_iters": hist["ls_iters"].at[slot].set(jj),
+                "lin_err": hist["lin_err"].at[slot].set(lin_err),
+                "dpsi": hist["dpsi"].at[slot].set(dpsi),
+                "nu": hist["nu"].at[slot].set(nu),
+                "step_inf": hist["step_inf"].at[slot].set(jnp.max(jnp.abs(dw))),
+            }
+            # boost the next regularization start after a failed line search:
+            # the step direction was sound by the factorization's account but
+            # useless in practice — damp the near-null directions next time
+            delta_start_next = jnp.where(
+                accepted,
+                jnp.zeros((), dtype),
+                jnp.maximum(opt.delta_w0, 10.0 * delta_used),
+            )
+            return (w_new, lam_new, zl_new, zu_new, mu_next, nu, delta_used, it + 1,
+                    status_new, hist_new, f_theta, f_phi, f_count, delta_start_next)
 
         def loop_cond(state):
-            return state[-1] == RUNNING
+            return state[8] == RUNNING
 
+        slots = opt.max_iter if opt.record_history else 1
+        hist0 = {
+            k: jnp.zeros((slots,), dtype)
+            for k in ("kkt", "mu", "alpha", "alpha_max", "delta_w", "theta",
+                      "lin_err", "dpsi", "nu", "step_inf")
+        }
+        hist0["ls_iters"] = jnp.zeros((slots,), jnp.int32)
         state0 = (
             w0, lam0, zl_d0, zu_d0, mu0,
             jnp.asarray(1.0, dtype),           # nu
             jnp.zeros((), dtype),              # delta_last
             jnp.asarray(0, jnp.int32),
             jnp.asarray(RUNNING, jnp.int32),
+            hist0,
+            jnp.zeros((n_filter,), dtype),                  # filter theta
+            jnp.full((n_filter,), -jnp.inf, dtype),         # filter phi
+            jnp.asarray(0, jnp.int32),                      # filter count
+            jnp.zeros((), dtype),                           # delta_start
         )
-        w, lam, zl_d, zu_d, mu, nu, delta_last, it, status = jax.lax.while_loop(
-            loop_cond, step, state0
-        )
+        (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
+         _, _, _, _) = jax.lax.while_loop(loop_cond, step, state0)
         e_final = kkt_error(w, lam, zl_d, zu_d, jnp.zeros((), dtype))
         return IPMResult(
             z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
             status=status, iterations=it,
             objective=objective(w[:n]), kkt_error=e_final,
             mu=mu, delta_w=delta_last,
+            history=hist if opt.record_history else None,
         )
 
     return solve

@@ -1,0 +1,110 @@
+"""Automatic problem scaling.
+
+The reference ships Betts-style autoscaling (``LpSacleOCP.cpp``) that samples
+random points to estimate Jacobian row norms; it is off by default and
+documented as "by no means fullproof". Here scaling is on by default (the
+survey flags good scaling as a primary robustness lever for the IP solver) and
+uses the deterministic IPOPT-style *gradient-based* scaling: the objective and
+every constraint row are scaled so their gradients at the initial point have
+∞-norm at most ``g_max``:
+
+    s_f = min(1, g_max / ||∇f(z0)||∞),   s_ci = min(1, g_max / ||∇c_i(z0)||∞)
+
+plus optional Betts bounds-based variable scaling
+(``scale = 1/(hi - lo)``, reference ``LpSacleOCP.cpp:343-371``) exposed as
+``variable_scaling=True`` for problems with wildly different state magnitudes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .problem import INF
+
+
+@dataclass(frozen=True)
+class ScaledNLP:
+    objective: Callable
+    constraints: Callable
+    zl: np.ndarray
+    zu: np.ndarray
+    cl: np.ndarray
+    cu: np.ndarray
+    z0: np.ndarray
+    obj_scale: float
+    con_scale: np.ndarray   # (m,)
+    var_scale: np.ndarray   # (n,)
+
+    def unscale_z(self, z):
+        return np.asarray(z) / self.var_scale
+
+    def unscale_lam(self, lam):
+        """Multipliers of the original problem from scaled-problem duals.
+
+        Original stationarity: ∇f + Jᵀλ = ...; scaled: s_f S_v⁻¹∇f + S_v⁻¹Jᵀ S_c λ̃
+        ⇒ λ = S_c λ̃ / s_f.
+        """
+        return np.asarray(lam) * self.con_scale / self.obj_scale
+
+    def unscale_objective(self, obj):
+        return float(obj) / self.obj_scale
+
+
+def scale_nlp(
+    objective: Callable,
+    constraints: Callable,
+    zl: np.ndarray,
+    zu: np.ndarray,
+    cl: np.ndarray,
+    cu: np.ndarray,
+    z0: np.ndarray,
+    g_max: float = 1.0,
+    enabled: bool = True,
+    variable_scaling: bool = False,
+) -> ScaledNLP:
+    n = z0.shape[0]
+    m = cl.shape[0]
+    if not enabled:
+        return ScaledNLP(
+            objective=objective, constraints=constraints,
+            zl=zl, zu=zu, cl=cl, cu=cu, z0=z0,
+            obj_scale=1.0, con_scale=np.ones(m), var_scale=np.ones(n),
+        )
+    v = np.ones(n)
+    if variable_scaling:
+        span = np.where(
+            (zu < INF) & (zl > -INF) & (zu - zl > 1e-12), zu - zl, 1.0
+        )
+        v = 1.0 / span
+    z0j = jnp.asarray(z0)
+    g0 = np.asarray(jax.grad(objective)(z0j))
+    J0 = np.asarray(jax.jacfwd(constraints)(z0j)) if m > 0 else np.zeros((0, n))
+    # gradients w.r.t. scaled variables pick up a 1/v factor
+    g_inf = np.max(np.abs(g0 / v)) if n else 0.0
+    sf = float(min(1.0, g_max / g_inf)) if g_inf > 0 else 1.0
+    row_inf = np.max(np.abs(J0 / v[None, :]), axis=1) if m > 0 else np.zeros(0)
+    sc = np.where(row_inf > 0, np.minimum(1.0, g_max / np.maximum(row_inf, 1e-300)), 1.0)
+    sc_j = jnp.asarray(sc)
+    v_j = jnp.asarray(v)
+
+    def obj_s(zs):
+        return sf * objective(zs / v_j)
+
+    def con_s(zs):
+        return sc_j * constraints(zs / v_j)
+
+    def sb(b, scale):
+        return np.where(np.abs(b) < INF, b * scale, b)
+
+    return ScaledNLP(
+        objective=obj_s, constraints=con_s,
+        zl=sb(zl, v), zu=sb(zu, v),
+        cl=sb(cl, sc), cu=sb(cu, sc),
+        z0=z0 * v,
+        obj_scale=sf, con_scale=sc, var_scale=v,
+    )

@@ -1,0 +1,199 @@
+"""The algorithm driver: transcribe -> scale -> IP solve -> hp-refine loop.
+
+Counterpart of the reference's ``LpopcAlgorithm::SolveOptimalControlProblem``
+(``/root/reference/Lpopc/src/Core/LpLpopcAlgorithm.cpp:17-47``): set/validate
+the first mesh, solve the transcribed NLP, convert back to trajectories,
+estimate the discretization error, and hp-refine until the tolerance or the
+grid cap is hit, warm-starting each mesh from the previous solution.
+
+The outer loop is host-side Python (mesh changes imply new static shapes);
+each inner solve is a single jitted interior-point run on device. Compiled
+solvers are cached per mesh signature so receding-horizon / repeated solves
+pay compilation once.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ipm import FAILED, MAX_ITER, RUNNING, SOLVED, IPMOptions, build_solver
+from .postprocess import Solution, extract_solution, warm_start_problem
+from .problem import Problem
+from .refine import estimate_errors, ph_refine_phase
+from .scaling import scale_nlp
+from .transcribe import transcribe
+
+log = logging.getLogger("lpopc_tpu")
+
+# final solve status (extends the reference's ocpstatus enum,
+# LpLpopcAlgorithm.hpp:33-40)
+OCP_SOLVED = 1
+OCP_REACH_MAX_GRID = 5
+OCP_NLP_FAILED = 3
+OCP_NLP_MAX_ITER = 2
+
+
+@dataclass(frozen=True)
+class SolveOptions:
+    """User-facing knobs, mirroring the reference's registered options
+    (``doc/LpopcDoc.tex:1203-1267``): Ipopt-tol -> ``tol``,
+    mesh-refine-methods -> ``mesh_method``, max-grid-num, desired-relative-
+    error, Nmax/Nmin, R -> ``curvature_ratio``, auto-scale -> ``auto_scale``.
+    """
+
+    tol: float = 1e-8
+    max_iterations: int = 300
+    auto_scale: bool = True
+    variable_scaling: bool = False
+    mesh_method: str = "ph"            # "ph" | "hp-liu" | "none"
+    max_grid_num: int = 10
+    desired_relative_error: float = 1e-6
+    n_min: int = 4
+    n_max: int = 16
+    curvature_ratio: float = 1.2
+    mu_init: float = 1e-1
+    verbose: bool = False
+    ipm: IPMOptions = None
+
+    def ipm_options(self) -> IPMOptions:
+        if self.ipm is not None:
+            return self.ipm
+        return IPMOptions(tol=self.tol, max_iter=self.max_iterations, mu_init=self.mu_init)
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def _mesh_signature(problem: Problem):
+    return tuple(
+        (tuple(ph.mesh_degrees), tuple(ph.mesh_fractions)) for ph in problem.phases
+    )
+
+
+def solve_on_mesh(problem: Problem, options: SolveOptions) -> Solution:
+    """Single fixed-mesh solve: transcription + scaling + one IPM run."""
+    nlp = transcribe(problem)
+    scaled = scale_nlp(
+        nlp.objective, nlp.constraints,
+        nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
+        enabled=options.auto_scale,
+        variable_scaling=options.variable_scaling,
+    )
+    solver = build_solver(
+        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options()
+    )
+    t_start = time.perf_counter()
+    res = jax.jit(solver)(
+        jnp.asarray(scaled.z0), jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
+        jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
+    )
+    res = jax.tree_util.tree_map(np.asarray, res)
+    wall = time.perf_counter() - t_start
+    z = scaled.unscale_z(res.z)
+    lam = scaled.unscale_lam(res.lam)
+    obj = scaled.unscale_objective(res.objective)
+    if options.verbose:
+        log.info(
+            "NLP solve: n=%d m=%d status=%d iters=%d obj=%.8g kkt=%.2e wall=%.2fs",
+            nlp.n, nlp.m, int(res.status), int(res.iterations), obj,
+            float(res.kkt_error), wall,
+        )
+    return extract_solution(
+        problem, nlp.layout, nlp.ops, z, lam, obj,
+        int(res.status), float(res.kkt_error), int(res.iterations),
+    )
+
+
+def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
+    """Full hp-adaptive solve (the reference's outer refinement loop)."""
+    mesh_history = [_mesh_signature(problem)]
+    error_history = []
+    sol = None
+    prev_sol = None
+    refiner_state = None
+    original_phases = problem.phases
+    for grid in range(max(1, options.max_grid_num)):
+        sol = solve_on_mesh(problem, options)
+        if sol.status != SOLVED and grid > 0:
+            # Warm start led the NLP astray (local blowup / divergence): retry
+            # this mesh cold from the user's original guess before giving up.
+            if options.verbose:
+                log.warning("grid %d: warm-started NLP failed (status %d); cold restart",
+                            grid + 1, sol.status)
+            cold = replace(
+                problem,
+                phases=tuple(
+                    replace(ph, guess_t=og.guess_t, guess_x=og.guess_x,
+                            guess_u=og.guess_u, guess_q=og.guess_q)
+                    for ph, og in zip(problem.phases, original_phases)
+                ),
+            )
+            cold_sol = solve_on_mesh(cold, options)
+            if cold_sol.status == SOLVED or cold_sol.kkt_error < sol.kkt_error:
+                sol = cold_sol
+        sol.grids = grid + 1
+        sol.mesh_history = list(mesh_history)
+        if sol.status != SOLVED and prev_sol is not None:
+            # Keep the last converged grid rather than refining garbage
+            # (the reference aborts with an exception here; we return the
+            # best solution, reference LpLpopcAlgorithm.cpp:49-84).
+            if options.verbose:
+                log.warning("grid %d: NLP failed after cold restart; "
+                            "returning previous grid's solution", grid + 1)
+            return prev_sol
+        if sol.status == FAILED:
+            sol.status = OCP_NLP_FAILED
+            return sol
+        if options.mesh_method == "none" or options.max_grid_num <= 1:
+            return sol
+        errs = estimate_errors(problem, sol)
+        error_history.append([e.copy() for e in errs])
+        sol.error_history = error_history
+        max_err = max((float(np.max(e)) if e.size else 0.0) for e in errs)
+        sol.max_relative_error = max_err
+        if options.verbose:
+            log.info(
+                "grid %d: max relative error %.3e (tol %.1e), mesh %s",
+                grid + 1, max_err, options.desired_relative_error,
+                [len(ph.mesh_degrees) for ph in problem.phases],
+            )
+        if max_err <= options.desired_relative_error:
+            return sol
+        if grid == options.max_grid_num - 1:
+            sol.status = OCP_REACH_MAX_GRID
+            return sol
+        # refine each phase's mesh
+        new_meshes = []
+        if options.mesh_method == "hp-liu":
+            from .refine_liu import LiuState, liu_refine_phase
+
+            if refiner_state is None:
+                refiner_state = [LiuState() for _ in problem.phases]
+            for i, (ph, psol, e) in enumerate(
+                zip(problem.phases, sol.phases, errs)
+            ):
+                d, f, _ = liu_refine_phase(
+                    ph, psol, e, refiner_state[i],
+                    tol=options.desired_relative_error,
+                    n_min=options.n_min, n_max=options.n_max,
+                    curvature_ratio=options.curvature_ratio,
+                )
+                new_meshes.append((d, f))
+        else:
+            for ph, e in zip(problem.phases, errs):
+                d, f, _ = ph_refine_phase(
+                    tuple(ph.mesh_degrees), tuple(ph.mesh_fractions), e,
+                    options.desired_relative_error, options.n_min, options.n_max,
+                )
+                new_meshes.append((d, f))
+        problem = warm_start_problem(problem, sol)
+        problem = problem.with_meshes(new_meshes)
+        mesh_history.append(_mesh_signature(problem))
+        prev_sol = sol
+    return sol

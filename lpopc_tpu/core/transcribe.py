@@ -298,9 +298,15 @@ def initial_guess(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) -
         t_state = (np.asarray(op.tau_state) + 1.0) * (tfg - t0g) / 2.0 + t0g
         t_col = t_state[:-1]
         if ph.guess_t is not None:
+            # Clamp spline values to the componentwise range of the source
+            # data: cubic overshoot through sharp layers would otherwise hand
+            # stiff dynamics (e.g. the hypersensitive -x^3) a poisoned warm
+            # start after mesh refinement.
             X = cubic_spline_interpolate(ph.guess_t, ph.guess_x, t_state)
+            X = np.clip(X, ph.guess_x.min(axis=0), ph.guess_x.max(axis=0))
             if ph.nu > 0:
                 U = cubic_spline_interpolate(ph.guess_t, ph.guess_u, t_col)
+                U = np.clip(U, ph.guess_u.min(axis=0), ph.guess_u.max(axis=0))
             else:
                 U = np.zeros((pl.N, 0))
         else:
