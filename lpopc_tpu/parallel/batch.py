@@ -1,0 +1,118 @@
+"""Instance-axis batching and multi-chip sharding of IPM solves.
+
+The reference is strictly single-process/single-thread; its throughput story
+is 1/wall-clock (SURVEY.md §5/§6). The TPU-native scale-out (BASELINE.json
+north star) is an *instance axis*: thousands of perturbed problem instances
+(different initial states, targets, pinned parameters) solve in lockstep —
+``vmap`` across one chip's lanes, and a device-mesh sharding of the instance
+grid across chips/hosts, with XLA inserting ICI/DCN collectives for the
+cross-instance reductions.
+
+Because the IPM takes its bounds as runtime inputs, a perturbed-instance sweep
+is pure data parallelism: every instance shares the compiled solver; per-
+instance ``status`` keeps diverged instances from poisoning the batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.ipm import IPMOptions, build_solver
+from ..core.problem import Problem
+from ..core.scaling import scale_nlp
+from ..core.solve import SolveOptions
+from ..core.transcribe import transcribe
+
+
+@dataclass
+class BatchSolver:
+    """A compiled batched solver for one problem family on a fixed mesh.
+
+    ``run(z0, zl, zu, cl, cu)`` takes arrays with a leading batch axis and
+    returns the batched :class:`IPMResult`. Use :meth:`nominal_inputs` to get
+    broadcast-ready nominal arrays to perturb.
+    """
+
+    problem: Problem
+    nlp: object
+    scaled: object
+    run: Callable
+    n: int
+    m: int
+
+    def nominal_inputs(self, batch: int):
+        s = self.scaled
+        tile = lambda a: np.broadcast_to(np.asarray(a), (batch,) + np.asarray(a).shape).copy()
+        return (tile(s.z0), tile(s.zl), tile(s.zu), tile(s.cl), tile(s.cu))
+
+    def perturb_x0(self, batch: int, phase: int, deltas: np.ndarray):
+        """Nominal inputs with the phase-``phase`` initial state shifted by
+        ``deltas`` (batch, nx) — the canonical MPC/perturbation sweep input.
+
+        Only states with equal lower/upper bounds (pinned x0) are shifted.
+        """
+        z0, zl, zu, cl, cu = self.nominal_inputs(batch)
+        pl = self.nlp.layout.phases[phase]
+        nx = pl.nx
+        var_scale = self.scaled.var_scale[pl.var_offset : pl.var_offset + nx]
+        d = np.asarray(deltas) * var_scale[None, :]
+        sl = slice(pl.var_offset, pl.var_offset + nx)
+        pinned = (zu[:, sl] - zl[:, sl]) < 1e-12
+        zl[:, sl] = np.where(pinned, zl[:, sl] + d, zl[:, sl])
+        zu[:, sl] = np.where(pinned, zu[:, sl] + d, zu[:, sl])
+        z0[:, sl] = z0[:, sl] + d
+        return z0, zl, zu, cl, cu
+
+
+def make_batch_solver(
+    problem: Problem,
+    options: SolveOptions = SolveOptions(),
+    mesh: Optional[Mesh] = None,
+    donate: bool = False,
+) -> BatchSolver:
+    """Compile a vmapped (and optionally mesh-sharded) IPM solver.
+
+    With ``mesh`` given (any axis names), the batch axis is sharded over all
+    mesh axes — the multi-chip layout for instance sweeps; XLA partitions the
+    whole lockstep solve with zero communication except final reductions.
+    """
+    nlp = transcribe(problem)
+    scaled = scale_nlp(
+        nlp.objective, nlp.constraints, nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
+        enabled=options.auto_scale, variable_scaling=options.variable_scaling,
+    )
+    solver = build_solver(
+        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options()
+    )
+    vsolver = jax.vmap(solver)
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        arg_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+        run = jax.jit(
+            vsolver,
+            in_shardings=(arg_sharding,) * 5,
+            donate_argnums=(0,) if donate else (),
+        )
+    else:
+        run = jax.jit(vsolver, donate_argnums=(0,) if donate else ())
+    return BatchSolver(
+        problem=problem, nlp=nlp, scaled=scaled, run=run, n=nlp.n, m=nlp.m
+    )
+
+
+def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def instance_grid_mesh(n_dp: int, n_sp: int, devices=None) -> Mesh:
+    """2D mesh for large sweeps: the instance grid is sharded over both axes."""
+    devices = devices if devices is not None else jax.devices()
+    dev = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    return Mesh(dev, ("dp", "sp"))
