@@ -109,7 +109,9 @@ def _make_dynamics(thrust_nd, mdot_nd, m0):
         m = x[6]  # in units of m0
         rnorm = jnp.sqrt(jnp.sum(r**2) + 1e-12)
         grav = -MUN * r / rnorm**3
-        h = (rnorm - 1.0) * LU
+        # clamp below the surface so infeasible iterates cannot overflow the
+        # exponential atmosphere (rho is exact for h >= 0, the feasible region)
+        h = jnp.maximum((rnorm - 1.0) * LU, 0.0)
         rho = RHO0 * jnp.exp(-h / H_SCALE)
         omega_cross_r = jnp.array([-omega_nd * r[1], omega_nd * r[0], 0.0])
         v_rel = v - omega_cross_r
@@ -129,9 +131,8 @@ def _np_dynamics(x, u, thrust_nd, mdot_nd, m0):
     omega_nd = OMEGA_E * TU
     rnorm = np.linalg.norm(r)
     grav = -MUN * r / rnorm**3
-    h = (rnorm - 1.0) * LU
-    rho = RHO0 * np.exp(-h / H_SCALE)
     v_rel = v - np.array([-omega_nd * r[1], omega_nd * r[0], 0.0])
+    rho = RHO0 * np.exp(-max((rnorm - 1.0) * LU, 0.0) / H_SCALE)
     a_drag = -(0.5 * rho * CD * S_AREA / (m * m0)) * np.linalg.norm(v_rel) * v_rel * LU
     return np.concatenate([v, grav + thrust_nd * u / m + a_drag, [-mdot_nd]])
 
@@ -251,8 +252,8 @@ def make_problem(degrees_per_phase=(5, 5, 5, 7), segs_per_phase=(2, 2, 2, 3)) ->
             mayer=(lambda x0, t0, xf, tf, q: -xf[6]) if i == 3 else None,
             x0_bounds=(np.concatenate([r0, v0, [1.0]]),
                        np.concatenate([r0, v0, [1.0]])) if i == 0 else None,
-            x_bounds=(np.array([-10, -10, -10, -10, -10, -10, m_lo]),
-                      np.array([10, 10, 10, 10, 10, 10, m_hi])),
+            x_bounds=(np.array([-2, -2, -2, -3, -3, -3, m_lo]),
+                      np.array([2, 2, 2, 3, 3, 3, m_hi])),
             u_bounds=(-1.1, 1.1),
             t0_bounds=t0b, tf_bounds=tfb,
             guess_t=g_t, guess_x=g_x, guess_u=g_u,

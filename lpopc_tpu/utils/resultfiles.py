@@ -1,0 +1,44 @@
+"""ASCII result artifacts, diffable against the reference's output files.
+
+The reference dumps ``time<p> / state<p> / control<p> / parameter<p> /
+costate<p> / Hamiltonian<p>`` per phase after the final grid
+(``/root/reference/Lpopc/src/Core/Nlp2OPConverter.cpp:198-223``; formats in
+``doc/LpopcDoc.tex:1190-1202``). Same artifact family here, so a reference
+user can diff trajectories file-by-file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.postprocess import Solution
+
+
+def save_results(sol: Solution, directory: str, prefix: str = "") -> list:
+    """Write the reference-style result file family; returns written paths."""
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+
+    def dump(name, arr):
+        path = os.path.join(directory, f"{prefix}{name}.dat")
+        np.savetxt(path, np.atleast_2d(arr), fmt="%.16e")
+        paths.append(path)
+
+    for p, ps in enumerate(sol.phases, start=1):
+        dump(f"time{p}", ps.t_state)
+        dump(f"state{p}", ps.x)
+        dump(f"control{p}", ps.u_full)
+        dump(f"parameter{p}", ps.q if ps.q.size else np.zeros((1,)))
+        dump(f"costate{p}", np.vstack([ps.costate, ps.costate_f[None, :]]))
+        dump(f"Hamiltonian{p}", ps.hamiltonian)
+    summary = os.path.join(directory, f"{prefix}summary.txt")
+    with open(summary, "w") as f:
+        f.write(
+            f"status {sol.status}\nobjective {sol.objective:.16e}\n"
+            f"kkt_error {sol.kkt_error:.3e}\ngrids {sol.grids}\n"
+            f"max_relative_error {sol.max_relative_error:.3e}\n"
+        )
+    paths.append(summary)
+    return paths
