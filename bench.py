@@ -22,6 +22,77 @@ import numpy as np
 REFERENCE_SOLVES_PER_S = 2.0  # single-core C++ lpopc estimate (BASELINE.md)
 
 
+def bench_hypersensitive(batch: int = 64):
+    """Large fixed-mesh config: dense KKT blocks big enough to feed the MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpopc_tpu.core.ipm import IPMOptions, SOLVED
+    from lpopc_tpu.core.solve import SolveOptions
+    from lpopc_tpu.models import hypersensitive
+    from lpopc_tpu.parallel.batch import make_batch_solver
+
+    problem = hypersensitive.make_problem(tf=40.0, degrees=(8,) * 12)
+    options = SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60))
+    bs = make_batch_solver(problem, options)
+    rng = np.random.default_rng(0)
+    z0, zl, zu, cl, cu = bs.perturb_x0(
+        batch, 0, 0.2 * rng.uniform(-1, 1, (batch, 1))
+    )
+    args = tuple(jnp.asarray(a) for a in (z0, zl, zu, cl, cu))
+    t0 = time.perf_counter()
+    res = bs.run(*args)
+    jax.block_until_ready(res.objective)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = bs.run(*args)
+    jax.block_until_ready(res.objective)
+    wall = time.perf_counter() - t0
+    statuses = np.asarray(res.status)
+    frac = float(np.mean(statuses == SOLVED))
+    return {
+        "metric": "batched_hypersensitive_n437_solves_per_s_per_chip",
+        "value": round(batch * frac / wall, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(batch * frac / wall / REFERENCE_SOLVES_PER_S, 2),
+        "batch": batch,
+        "solved_frac": round(frac, 4),
+        "wall_s": round(wall, 4),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_mpc(steps: int = 30):
+    """p50 receding-horizon solve latency (BASELINE.json metric #3)."""
+    import jax.numpy as jnp
+
+    from lpopc_tpu.core.problem import Phase, Problem
+    from lpopc_tpu.core.solve import SolveOptions
+    from lpopc_tpu.parallel.mpc import MPCController
+
+    prob = Problem(phases=(Phase(
+        nx=2, nu=1,
+        dynamics=lambda x, u, t, q: jnp.array([x[1], u[0]]),
+        lagrange=lambda x, u, t, q: 0.5 * u[0] ** 2 + x[0] ** 2,
+        x0_bounds=(np.array([1.0, 0.0]), np.array([1.0, 0.0])),
+        xf_bounds=(np.zeros(2), np.zeros(2)),
+        x_bounds=(np.full(2, -10.0), np.full(2, 10.0)),
+        u_bounds=(-50.0, 50.0), t0_bounds=(0.0, 0.0), tf_bounds=(1.0, 1.0),
+        mesh_degrees=(8,), mesh_fractions=(-1.0, 1.0),
+    ),))
+    ctrl = MPCController(prob, SolveOptions(tol=1e-6))
+    x = np.array([1.0, 0.0])
+    for _ in range(steps):
+        u0, info = ctrl.step(x)
+        x = x + 0.02 * np.array([x[1], float(u0[0])])
+    return {
+        "metric": "mpc_p50_solve_ms",
+        "value": round(ctrl.percentile_ms(50), 3),
+        "unit": "ms",
+        "vs_baseline": None,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -30,6 +101,13 @@ def main():
     from lpopc_tpu.core.solve import SolveOptions
     from lpopc_tpu.models import brachistochrone
     from lpopc_tpu.parallel.batch import make_batch_solver
+
+    if len(sys.argv) > 1 and sys.argv[1] == "hs":
+        print(json.dumps(bench_hypersensitive(int(sys.argv[2]) if len(sys.argv) > 2 else 64)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "mpc":
+        print(json.dumps(bench_mpc()))
+        return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     problem = brachistochrone.make_problem(degrees=(6, 6))

@@ -112,6 +112,9 @@ def solve_on_mesh(problem: Problem, options: SolveOptions) -> Solution:
 
 def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     """Full hp-adaptive solve (the reference's outer refinement loop)."""
+    from .options import validate
+
+    options = validate(options)
     mesh_history = [_mesh_signature(problem)]
     error_history = []
     sol = None

@@ -1,0 +1,141 @@
+"""Lane-parallel batched dense linear algebra (Pallas TPU kernels).
+
+The IPM's per-instance KKT matrices are small (n ~ 30-700); a sweep solves
+hundreds to thousands of them per iteration. The TPU-native way to batch
+*small* factorizations is to put the **batch on the lane dimension**: store
+the matrices as (n, n, B) so every scalar step of the factorization becomes a
+128-wide vector operation — one lane per matrix, the systolic analog of GPU
+per-thread batched LAPACK. (XLA's batched Cholesky parallelizes well only for
+large blocks; tiny matrices leave lanes idle.)
+
+Kernels:
+* ``lane_cholesky``  — right-looking Cholesky, one column step per
+  ``fori_loop`` iteration, trailing update as a full masked outer product
+  (VPU, lane-parallel across the batch).
+* ``lane_cho_solve`` — forward + backward substitution in the same layout.
+
+``pallas_call`` runs with ``interpret=True`` off-TPU so the kernels are
+testable on CPU. Batch is padded to a multiple of 128 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chol_kernel(k_ref, l_ref):
+    n = k_ref.shape[0]
+    l_ref[:] = k_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    def col_step(j, _):
+        pivot = jnp.sqrt(l_ref[j, j, :])                      # (B,)
+        colj = l_ref[:, j, :] / pivot[None, :]                # (n, B)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        colj = jnp.where(row_ids >= j, colj, 0.0)
+        l_ref[:, j, :] = colj
+        outer = colj[:, None, :] * colj[None, :, :]           # (n, n, B)
+        mask = ((rows > j) & (cols > j))[:, :, None]
+        l_ref[:] = l_ref[:] - jnp.where(mask, outer, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, col_step, 0)
+    # zero the strict upper triangle
+    l_ref[:] = jnp.where((rows >= cols)[:, :, None], l_ref[:], 0.0)
+
+
+def _solve_kernel(l_ref, b_ref, x_ref, y_scratch):
+    n = l_ref.shape[0]
+    y_scratch[:] = jnp.zeros_like(y_scratch)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def fwd(j, _):
+        lrow = l_ref[j, :, :]                                  # (n, B)
+        acc = jnp.sum(jnp.where(row_ids < j, lrow * y_scratch[:], 0.0), axis=0)
+        y_scratch[j, :] = (b_ref[j, :] - acc) / l_ref[j, j, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+    x_ref[:] = jnp.zeros_like(x_ref)
+
+    def bwd(jj, _):
+        j = n - 1 - jj
+        lcol = l_ref[:, j, :]                                  # rows i of column j = L^T row j
+        acc = jnp.sum(jnp.where(row_ids > j, lcol * x_ref[:], 0.0), axis=0)
+        x_ref[j, :] = (y_scratch[j, :] - acc) / l_ref[j, j, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+def _pad_lanes(B: int) -> int:
+    return ((B + LANES - 1) // LANES) * LANES
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lane_cholesky(K: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """Cholesky of a batch of SPD matrices, batch on lanes.
+
+    K: (B, n, n) -> L: (B, n, n) lower-triangular.
+    """
+    interp = _interpret() if interpret is None else interpret
+    B, n, _ = K.shape
+    Bp = _pad_lanes(B)
+    Kt = jnp.moveaxis(K, 0, -1)                               # (n, n, B)
+    if Bp != B:
+        pad = jnp.zeros((n, n, Bp - B), K.dtype) + jnp.eye(n, dtype=K.dtype)[:, :, None]
+        Kt = jnp.concatenate([Kt, pad], axis=-1)
+    grid = (Bp // LANES,)
+    Lt = pl.pallas_call(
+        _chol_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), K.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interp,
+    )(Kt)
+    return jnp.moveaxis(Lt[:, :, :B], -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lane_cho_solve(L: jnp.ndarray, b: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """Solve L Lᵀ x = b for a batch, batch on lanes. L: (B, n, n), b: (B, n)."""
+    interp = _interpret() if interpret is None else interpret
+    B, n, _ = L.shape
+    Bp = _pad_lanes(B)
+    Lt = jnp.moveaxis(L, 0, -1)
+    bt = jnp.moveaxis(b, 0, -1)                               # (n, B)
+    if Bp != B:
+        Lt = jnp.concatenate(
+            [Lt, jnp.zeros((n, n, Bp - B), L.dtype)
+             + jnp.eye(n, dtype=L.dtype)[:, :, None]], axis=-1)
+        bt = jnp.concatenate([bt, jnp.zeros((n, Bp - B), b.dtype)], axis=-1)
+    grid = (Bp // LANES,)
+    xt = pl.pallas_call(
+        _solve_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, Bp), b.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, LANES), b.dtype)],
+        interpret=interp,
+    )(Lt, bt)
+    return jnp.moveaxis(xt[:, :B], -1, 0)
