@@ -105,12 +105,16 @@ def build_solver(
     n: int,
     m: int,
     options: IPMOptions = IPMOptions(),
+    jac_fn: Callable | None = None,
+    hess_fn: Callable | None = None,
 ) -> Callable:
     """Return ``solve(z0, zl, zu, cl, cu) -> IPMResult`` (pure; jit/vmap-able).
 
     Bounds are runtime arguments so an instance sweep (perturbed initial
     conditions, terminal sets, pinned parameters) is just a ``vmap`` over
-    them.
+    them. ``jac_fn(z) -> (m, n)`` and ``hess_fn(z, lam) -> (n, n)`` override
+    the global-AD derivatives with structure-exploiting assembly
+    (see :mod:`.structured`).
     """
     opt = options
     grad_f = jax.grad(objective)
@@ -118,8 +122,8 @@ def build_solver(
     def lagrangian(z, lam):
         return objective(z) + jnp.dot(lam, constraints(z))
 
-    hess_l = jax.hessian(lagrangian, argnums=0)
-    jac_c = jax.jacfwd(constraints)
+    hess_l = hess_fn if hess_fn is not None else jax.hessian(lagrangian, argnums=0)
+    jac_c = jac_fn if jac_fn is not None else jax.jacfwd(constraints)
 
     def solve(z0, zl, zu, cl, cu):
         dtype = z0.dtype

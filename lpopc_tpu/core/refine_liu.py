@@ -222,10 +222,10 @@ def _merge_ok(taus, x_fine, a, b, n, tol):
     if np.sum(mask) < n + 3:
         return False
     t = taus[mask]
-    vals_at_support = np.empty((support.shape[0], x_fine.shape[1]))
-    for i in range(support.shape[0]):
-        j = np.argmin(np.abs(taus - support[i]))
-        vals_at_support[i] = x_fine[j]
+    vals_at_support = np.stack(
+        [np.interp(support, taus, x_fine[:, c]) for c in range(x_fine.shape[1])],
+        axis=1,
+    )
     recon = interpolation_matrix(support, t) @ vals_at_support
     scale = 1.0 + np.max(np.abs(x_fine), axis=0)
     err = np.max(np.abs(recon - x_fine[mask]) / scale[None, :])

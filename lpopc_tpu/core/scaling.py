@@ -54,6 +54,27 @@ class ScaledNLP:
     def unscale_objective(self, obj):
         return float(obj) / self.obj_scale
 
+    def wrap_structured(self, jac_raw, hess_raw):
+        """Scaled-space (jac_fn, hess_fn) from raw structured assemblers.
+
+        With x = z_s / v: J_s = S_c J(x) V⁻¹ and
+        ∇²_{z_s}[s_f f + λᵀ S_c c] = V⁻¹ H(x, S_c λ; σ=s_f) V⁻¹.
+        """
+        import jax.numpy as jnp
+
+        v = jnp.asarray(self.var_scale)
+        sc = jnp.asarray(self.con_scale)
+        sf = self.obj_scale
+
+        def jac_s(z_s):
+            return (sc[:, None] * jac_raw(z_s / v)) / v[None, :]
+
+        def hess_s(z_s, lam):
+            H = hess_raw(z_s / v, sc * lam, sf)
+            return H / (v[:, None] * v[None, :])
+
+        return jac_s, hess_s
+
 
 def scale_nlp(
     objective: Callable,

@@ -51,6 +51,7 @@ class SolveOptions:
     max_iterations: int = 300
     auto_scale: bool = True
     variable_scaling: bool = False
+    structured_derivatives: bool = True
     mesh_method: str = "ph"            # "ph" | "hp-liu" | "none"
     max_grid_num: int = 10
     desired_relative_error: float = 1e-6
@@ -70,6 +71,32 @@ class SolveOptions:
 _SOLVER_CACHE: dict = {}
 
 
+def describe_problem(problem: Problem, options: SolveOptions = None) -> str:
+    """Problem-size/options summary (the reference prints this at solve start,
+    ``LpopcAlgorithm::OutputProblemInfo``, ``LpLpopcAlgorithm.cpp:264-345``)."""
+    from .transcribe import make_layout
+
+    lay = make_layout(problem)
+    lines = [f"problem '{problem.name}': {len(problem.phases)} phase(s), "
+             f"{len(problem.linkages)} linkage(s), {lay.nvar} variables, "
+             f"{lay.ncon} constraints"]
+    for i, (ph, pl) in enumerate(zip(problem.phases, lay.phases)):
+        lines.append(
+            f"  phase {i + 1}: nx={ph.nx} nu={ph.nu} nq={ph.nq} "
+            f"npath={ph.npath} nevent={ph.nevent} "
+            f"segments={len(ph.mesh_degrees)} N={pl.N}"
+        )
+    if options is not None:
+        lines.append(
+            f"  options: tol={options.tol} mesh={options.mesh_method} "
+            f"max_grid={options.max_grid_num} "
+            f"mesh_tol={options.desired_relative_error} "
+            f"Nmin/Nmax={options.n_min}/{options.n_max} "
+            f"auto_scale={options.auto_scale}"
+        )
+    return "\n".join(lines)
+
+
 def _mesh_signature(problem: Problem):
     return tuple(
         (tuple(ph.mesh_degrees), tuple(ph.mesh_fractions)) for ph in problem.phases
@@ -85,8 +112,17 @@ def solve_on_mesh(problem: Problem, options: SolveOptions) -> Solution:
         enabled=options.auto_scale,
         variable_scaling=options.variable_scaling,
     )
+    jac_fn = hess_fn = None
+    if options.structured_derivatives:
+        from .structured import make_structured_hessian, make_structured_jacobian
+
+        jac_fn, hess_fn = scaled.wrap_structured(
+            make_structured_jacobian(problem, nlp.layout, nlp.ops),
+            make_structured_hessian(problem, nlp.layout, nlp.ops),
+        )
     solver = build_solver(
-        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options()
+        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
+        jac_fn=jac_fn, hess_fn=hess_fn,
     )
     t_start = time.perf_counter()
     res = jax.jit(solver)(
@@ -115,6 +151,8 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     from .options import validate
 
     options = validate(options)
+    if options.verbose:
+        log.info("%s", describe_problem(problem, options))
     mesh_history = [_mesh_signature(problem)]
     error_history = []
     sol = None

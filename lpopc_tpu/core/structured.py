@@ -1,0 +1,331 @@
+"""Structure-exploiting derivative assembly for the transcribed NLP.
+
+The transcription is node-separable: defects couple states only through the
+constant composite differentiation matrix ``D``; the dynamics/path/Lagrange
+terms act node-wise; events/linkages touch endpoints. So instead of one
+global ``jax.jacfwd``/``jax.hessian`` over the whole decision vector (whose
+graph re-traces the entire transcription per derivative direction), this
+module builds
+
+* the constraint Jacobian from **vmapped per-node Jacobians** of the user
+  functions scattered around the constant ``kron(D, I)`` skeleton, and
+* the Lagrangian Hessian from **vmapped per-node Hessians** of the node
+  Lagrangian ``σ (tf-t0)/2 w_k L_k - (tf-t0)/2 λ_kᵀ f_k + λ_kᵀ p_k`` (a
+  function of ``[x_k; u_k; t0; tf; q]`` only) plus endpoint/linkage blocks.
+
+This mirrors what the reference hand-codes over ~5 kLoC
+(``LpNLPWrapper::GetPhaseJacbi``, ``LpHessian::CalculatePhaseHessian`` —
+``/root/reference/Lpopc/src/Core/LpNLPWrapper.cpp:230-862``,
+``LpHessian.cpp:1192-2162``) but with exact node-level AD instead of finite
+differences, and dense scatters instead of sparse triplets. Correctness is
+pinned by tests comparing against global ``jax.jacfwd``/``jax.hessian``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lgr import SegmentOps
+from .problem import Problem
+from .transcribe import Layout, phase_times, unpack_phase
+
+
+def _node_indices(pl, nq_cols=True) -> np.ndarray:
+    """(N, nb) global variable indices of node k's inputs [x_k, u_k, t0, tf, q]."""
+    N, nx, nu, nq = pl.N, pl.nx, pl.nu, pl.nq
+    idx = np.empty((N, nx + nu + 2 + nq), dtype=np.int32)
+    for k in range(N):
+        cols = []
+        cols.extend(pl.var_offset + k * nx + np.arange(nx))
+        cols.extend(pl.var_offset + pl.npts * nx + k * nu + np.arange(nu))
+        cols.append(pl.t0_index)
+        cols.append(pl.tf_index)
+        cols.extend(pl.q_slice.start + np.arange(nq))
+        idx[k] = cols
+    return idx
+
+
+def _endpoint_indices(pl) -> np.ndarray:
+    """Global indices of [x0, t0, xf, tf, q]."""
+    nx, nq = pl.nx, pl.nq
+    return np.concatenate([
+        pl.var_offset + np.arange(nx),
+        [pl.t0_index],
+        pl.var_offset + pl.N * nx + np.arange(nx),
+        [pl.tf_index],
+        pl.q_slice.start + np.arange(nq),
+    ]).astype(np.int32)
+
+
+def make_structured_jacobian(
+    problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
+) -> Callable:
+    """Return ``jac(z) -> (m, n)`` assembled from per-node blocks."""
+    n, m = layout.nvar, layout.ncon
+
+    # constant skeleton: kron(D, I_nx) per phase + linear rows
+    skeleton = np.zeros((m, n))
+    for ph, pl, op in zip(problem.phases, layout.phases, ops):
+        if pl.nx:
+            skeleton[
+                pl.con_offset : pl.con_offset + pl.N * pl.nx,
+                pl.var_offset : pl.var_offset + pl.npts * pl.nx,
+            ] = np.kron(np.asarray(op.D), np.eye(pl.nx))
+    row = layout.linear_offset
+    for pl in layout.phases:
+        skeleton[row, pl.tf_index] = 1.0
+        skeleton[row, pl.t0_index] = -1.0
+        row += 1
+    for link in problem.linkages:
+        skeleton[row, layout.phases[link.right].t0_index] = 1.0
+        skeleton[row, layout.phases[link.left].tf_index] = -1.0
+        row += 1
+    skeleton_j = jnp.asarray(skeleton)
+
+    node_idx = [jnp.asarray(_node_indices(pl)) for pl in layout.phases]
+    end_idx = [jnp.asarray(_endpoint_indices(pl)) for pl in layout.phases]
+
+    def jac(z):
+        J = skeleton_j.astype(z.dtype)
+        ends = []
+        starts = []
+        for ph, pl, op, nidx, eidx in zip(
+            problem.phases, layout.phases, ops, node_idx, end_idx
+        ):
+            X, U, t0, tf, q = unpack_phase(pl, z)
+            tau = jnp.asarray(op.tau, z.dtype)
+            half = (tf - t0) / 2.0
+
+            def node_dyn(xi, k):
+                # xi = [x, u, t0, tf, q] for node k
+                nx, nu, nq = pl.nx, pl.nu, pl.nq
+                x = xi[:nx]
+                u = xi[nx : nx + nu]
+                t0_, tf_ = xi[nx + nu], xi[nx + nu + 1]
+                q_ = xi[nx + nu + 2 :]
+                t = (tau[k] + 1.0) * (tf_ - t0_) / 2.0 + t0_
+                f = ph.dynamics(x, u, t, q_)
+                return -(tf_ - t0_) / 2.0 * jnp.reshape(f, (nx,))
+
+            xi_nodes = jnp.concatenate(
+                [
+                    X[:-1],
+                    U,
+                    jnp.broadcast_to(t0, (pl.N,))[:, None],
+                    jnp.broadcast_to(tf, (pl.N,))[:, None],
+                    jnp.broadcast_to(q, (pl.N, pl.nq)),
+                ],
+                axis=1,
+            )
+            dblocks = jax.vmap(jax.jacfwd(node_dyn), in_axes=(0, 0))(
+                xi_nodes, jnp.arange(pl.N)
+            )  # (N, nx, nb)
+            rows = (
+                pl.con_offset
+                + jnp.arange(pl.N)[:, None, None] * pl.nx
+                + jnp.arange(pl.nx)[None, :, None]
+            )
+            cols = jnp.broadcast_to(nidx[:, None, :], dblocks.shape)
+            J = J.at[rows, cols].add(dblocks)
+
+            if ph.npath > 0:
+                def node_path(xi, k):
+                    nx, nu = pl.nx, pl.nu
+                    x = xi[:nx]
+                    u = xi[nx : nx + nu]
+                    t0_, tf_ = xi[nx + nu], xi[nx + nu + 1]
+                    q_ = xi[nx + nu + 2 :]
+                    t = (tau[k] + 1.0) * (tf_ - t0_) / 2.0 + t0_
+                    return jnp.reshape(ph.path(x, u, t, q_), (pl.npath,))
+
+                pblocks = jax.vmap(jax.jacfwd(node_path), in_axes=(0, 0))(
+                    xi_nodes, jnp.arange(pl.N)
+                )
+                poff = pl.con_offset + pl.N * pl.nx
+                prow = (
+                    poff
+                    + jnp.arange(pl.N)[:, None, None] * pl.npath
+                    + jnp.arange(pl.npath)[None, :, None]
+                )
+                pcol = jnp.broadcast_to(nidx[:, None, :], pblocks.shape)
+                J = J.at[prow, pcol].add(pblocks)
+
+            if ph.nevent > 0:
+                def ev(xe):
+                    nx, nq = pl.nx, pl.nq
+                    return jnp.reshape(
+                        ph.event(xe[:nx], xe[nx], xe[nx + 1 : 2 * nx + 1],
+                                 xe[2 * nx + 1], xe[2 * nx + 2 :]),
+                        (pl.nevent,),
+                    )
+
+                xe = jnp.concatenate(
+                    [X[0], jnp.reshape(t0, (1,)), X[-1], jnp.reshape(tf, (1,)), q]
+                )
+                eblock = jax.jacfwd(ev)(xe)  # (nevent, ne)
+                eoff = pl.con_offset + pl.N * pl.nx + pl.N * pl.npath
+                erow = eoff + jnp.arange(pl.nevent)[:, None]
+                ecol = jnp.broadcast_to(eidx[None, :], eblock.shape)
+                J = J.at[erow, ecol].add(eblock)
+            starts.append((X[0], t0, q))
+            ends.append((X[-1], tf, q))
+
+        for link, loff in zip(problem.linkages, layout.link_offsets):
+            if link.nlink == 0:
+                continue
+            pll, plr = layout.phases[link.left], layout.phases[link.right]
+            xfl, tfl, ql = ends[link.left]
+            x0r, t0r, qr = starts[link.right]
+            nxl, nql, nxr = pll.nx, pll.nq, plr.nx
+
+            def lk(v):
+                return jnp.reshape(
+                    link.fn(v[:nxl], v[nxl : nxl + nql],
+                            v[nxl + nql : nxl + nql + nxr], v[nxl + nql + nxr :]),
+                    (link.nlink,),
+                )
+
+            v = jnp.concatenate([xfl, ql, x0r, qr])
+            lblock = jax.jacfwd(lk)(v)
+            lidx = jnp.asarray(np.concatenate([
+                pll.var_offset + pll.N * nxl + np.arange(nxl),
+                pll.q_slice.start + np.arange(nql),
+                plr.var_offset + np.arange(nxr),
+                plr.q_slice.start + np.arange(plr.nq),
+            ]).astype(np.int32))
+            lrow = loff + jnp.arange(link.nlink)[:, None]
+            lcol = jnp.broadcast_to(lidx[None, :], lblock.shape)
+            J = J.at[lrow, lcol].add(lblock)
+        return J
+
+    return jac
+
+
+def make_structured_hessian(
+    problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
+) -> Callable:
+    """Return ``hess(z, lam, sigma=1.0) -> (n, n)``: the Lagrangian Hessian
+    ``∇²[σ f(z) + λᵀ c(z)]`` assembled from per-node blocks."""
+    n = layout.nvar
+    node_idx = [jnp.asarray(_node_indices(pl)) for pl in layout.phases]
+    end_idx = [jnp.asarray(_endpoint_indices(pl)) for pl in layout.phases]
+
+    def hess(z, lam, sigma=1.0):
+        H = jnp.zeros((n, n), dtype=z.dtype)
+        ends = []
+        starts = []
+        for ph, pl, op, nidx, eidx in zip(
+            problem.phases, layout.phases, ops, node_idx, end_idx
+        ):
+            X, U, t0, tf, q = unpack_phase(pl, z)
+            tau = jnp.asarray(op.tau, z.dtype)
+            w = jnp.asarray(op.w, z.dtype)
+            lam_def = lam[pl.con_offset : pl.con_offset + pl.N * pl.nx].reshape(
+                pl.N, pl.nx
+            )
+            if ph.npath > 0:
+                poff = pl.con_offset + pl.N * pl.nx
+                lam_path = lam[poff : poff + pl.N * ph.npath].reshape(pl.N, ph.npath)
+            else:
+                lam_path = jnp.zeros((pl.N, 0), z.dtype)
+
+            def node_lag(xi, k, ldef, lpath):
+                nx, nu = pl.nx, pl.nu
+                x = xi[:nx]
+                u = xi[nx : nx + nu]
+                t0_, tf_ = xi[nx + nu], xi[nx + nu + 1]
+                q_ = xi[nx + nu + 2 :]
+                half_ = (tf_ - t0_) / 2.0
+                t = (tau[k] + 1.0) * half_ + t0_
+                val = -half_ * jnp.dot(ldef, jnp.reshape(ph.dynamics(x, u, t, q_), (nx,)))
+                if ph.lagrange is not None:
+                    val = val + sigma * half_ * w[k] * jnp.reshape(
+                        ph.lagrange(x, u, t, q_), ())
+                if ph.npath > 0:
+                    val = val + jnp.dot(
+                        lpath, jnp.reshape(ph.path(x, u, t, q_), (ph.npath,))
+                    )
+                return val
+
+            xi_nodes = jnp.concatenate(
+                [
+                    X[:-1],
+                    U,
+                    jnp.broadcast_to(t0, (pl.N,))[:, None],
+                    jnp.broadcast_to(tf, (pl.N,))[:, None],
+                    jnp.broadcast_to(q, (pl.N, pl.nq)),
+                ],
+                axis=1,
+            )
+            hblocks = jax.vmap(jax.hessian(node_lag), in_axes=(0, 0, 0, 0))(
+                xi_nodes, jnp.arange(pl.N), lam_def, lam_path
+            )  # (N, nb, nb)
+            rows = jnp.broadcast_to(nidx[:, :, None], hblocks.shape)
+            cols = jnp.broadcast_to(nidx[:, None, :], hblocks.shape)
+            H = H.at[rows, cols].add(hblocks)
+
+            # endpoint terms: sigma * mayer + lam_event^T event
+            if ph.mayer is not None or ph.nevent > 0:
+                eoff = pl.con_offset + pl.N * pl.nx + pl.N * pl.npath
+                lam_ev = lam[eoff : eoff + pl.nevent]
+
+                def end_lag(xe):
+                    nx = pl.nx
+                    x0_, t0_ = xe[:nx], xe[nx]
+                    xf_, tf_ = xe[nx + 1 : 2 * nx + 1], xe[2 * nx + 1]
+                    q_ = xe[2 * nx + 2 :]
+                    val = jnp.zeros((), z.dtype)
+                    if ph.mayer is not None:
+                        val = val + sigma * jnp.reshape(
+                            ph.mayer(x0_, t0_, xf_, tf_, q_), ())
+                    if ph.nevent > 0:
+                        val = val + jnp.dot(
+                            lam_ev,
+                            jnp.reshape(ph.event(x0_, t0_, xf_, tf_, q_), (pl.nevent,)),
+                        )
+                    return val
+
+                xe = jnp.concatenate(
+                    [X[0], jnp.reshape(t0, (1,)), X[-1], jnp.reshape(tf, (1,)), q]
+                )
+                hend = jax.hessian(end_lag)(xe)
+                H = H.at[eidx[:, None], eidx[None, :]].add(hend)
+            starts.append((X[0], t0, q))
+            ends.append((X[-1], tf, q))
+
+        for link, loff in zip(problem.linkages, layout.link_offsets):
+            if link.nlink == 0:
+                continue
+            pll, plr = layout.phases[link.left], layout.phases[link.right]
+            xfl, tfl, ql = ends[link.left]
+            x0r, t0r, qr = starts[link.right]
+            nxl, nql, nxr = pll.nx, pll.nq, plr.nx
+            lam_l = lam[loff : loff + link.nlink]
+
+            def link_lag(v):
+                return jnp.dot(
+                    lam_l,
+                    jnp.reshape(
+                        link.fn(v[:nxl], v[nxl : nxl + nql],
+                                v[nxl + nql : nxl + nql + nxr],
+                                v[nxl + nql + nxr :]),
+                        (link.nlink,),
+                    ),
+                )
+
+            v = jnp.concatenate([xfl, ql, x0r, qr])
+            hl = jax.hessian(link_lag)(v)
+            lidx = jnp.asarray(np.concatenate([
+                pll.var_offset + pll.N * nxl + np.arange(nxl),
+                pll.q_slice.start + np.arange(nql),
+                plr.var_offset + np.arange(nxr),
+                plr.q_slice.start + np.arange(plr.nq),
+            ]).astype(np.int32))
+            H = H.at[lidx[:, None], lidx[None, :]].add(hl)
+        return H
+
+    return hess

@@ -87,8 +87,17 @@ def make_batch_solver(
         nlp.objective, nlp.constraints, nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
         enabled=options.auto_scale, variable_scaling=options.variable_scaling,
     )
+    jac_fn = hess_fn = None
+    if getattr(options, "structured_derivatives", True):
+        from ..core.structured import make_structured_hessian, make_structured_jacobian
+
+        jac_fn, hess_fn = scaled.wrap_structured(
+            make_structured_jacobian(problem, nlp.layout, nlp.ops),
+            make_structured_hessian(problem, nlp.layout, nlp.ops),
+        )
     solver = build_solver(
-        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options()
+        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
+        jac_fn=jac_fn, hess_fn=hess_fn,
     )
     vsolver = jax.vmap(solver)
     if mesh is not None:
