@@ -160,26 +160,42 @@ def build_solver(
 
         nb = jnp.sum(has_lo) + jnp.sum(has_up)
 
-        def kkt_error(w, lam, zl_d, zu_d, mu):
-            """IPOPT's scaled optimality error E_mu (eq. 5 of the IPOPT paper)."""
+        def kkt_error_parts(w, lam, zl_d, zu_d):
+            """Shared pieces of IPOPT's scaled optimality error E_mu (eq. 5).
+            One gradient + Jacobian + constraint evaluation serves the barrier
+            (E_mu) and outer (E_0) tests AND is carried into the next
+            iteration's step (which needs exactly g/J/c at this point)."""
             z = w[:n]
-            g = jnp.concatenate([grad_f(z), jnp.zeros((m,), dtype)])
+            g_z = grad_f(z)
             J = jac_c(z)
+            c_val = constraints(z)
+            g = jnp.concatenate([g_z, jnp.zeros((m,), dtype)])
             jt_lam = jnp.concatenate([J.T @ lam, -lam])
             r_d = g + jt_lam - jnp.where(has_lo, zl_d, 0.0) + jnp.where(has_up, zu_d, 0.0)
             r_d = jnp.where(fixed, 0.0, r_d)
-            r_p = constraints(z) - w[n:]
+            r_p = c_val - w[n:]
             gl, gu = gaps(w)
-            comp_l = jnp.where(has_lo, zl_d * gl - mu, 0.0)
-            comp_u = jnp.where(has_up, zu_d * gu - mu, 0.0)
+            comp_l = jnp.where(has_lo, zl_d * gl, 0.0)
+            comp_u = jnp.where(has_up, zu_d * gu, 0.0)
             dual_norm = jnp.sum(jnp.abs(lam)) + jnp.sum(jnp.abs(zl_d)) + jnp.sum(jnp.abs(zu_d))
             denom = jnp.maximum(1.0, (m + nb)).astype(dtype)
             s_d = jnp.maximum(opt.s_max, dual_norm / denom) / opt.s_max
             s_c = jnp.maximum(opt.s_max, (jnp.sum(jnp.abs(zl_d)) + jnp.sum(jnp.abs(zu_d))) / jnp.maximum(1.0, nb)) / opt.s_max
             e_d = jnp.max(jnp.abs(r_d)) / s_d
             e_p = jnp.max(jnp.abs(r_p)) if m > 0 else jnp.zeros((), dtype)
-            e_c = jnp.maximum(jnp.max(jnp.abs(comp_l)), jnp.max(jnp.abs(comp_u))) / s_c
+            return (e_d, e_p, comp_l, comp_u, s_c), (g_z, J, c_val)
+
+        def error_from_parts(parts, mu):
+            e_d, e_p, comp_l, comp_u, s_c = parts
+            e_c = jnp.maximum(
+                jnp.max(jnp.abs(jnp.where(has_lo, comp_l - mu, 0.0))),
+                jnp.max(jnp.abs(jnp.where(has_up, comp_u - mu, 0.0))),
+            ) / s_c
             return jnp.maximum(jnp.maximum(e_d, e_p), e_c)
+
+        def kkt_error(w, lam, zl_d, zu_d, mu):
+            parts, _ = kkt_error_parts(w, lam, zl_d, zu_d)
+            return error_from_parts(parts, mu)
 
         def barrier_phi(w, mu):
             gl, gu = gaps(w)
@@ -200,13 +216,11 @@ def build_solver(
         # ----- one interior-point iteration -----
         def step(state):
             (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
-             f_theta, f_phi, f_count, delta_start) = state
+             f_theta, f_phi, f_count, delta_start, gjc) = state
             z = w[:n]
             gl, gu = gaps(w)
-            g_z = grad_f(z)
-            J = jac_c(z)
+            g_z, J, c_val = gjc   # carried from the previous convergence check
             H = hess_l(z, lam)
-            c_val = constraints(z)
             r_p = c_val - w[n:]
 
             sigma = jnp.where(has_lo, zl_d / gl, 0.0) + jnp.where(has_up, zu_d / gu, 0.0)
@@ -419,7 +433,8 @@ def build_solver(
             zu_new = jnp.where(bad, zu_d, zu_new)
 
             # barrier update: tighten mu once the barrier problem is solved
-            e_mu = kkt_error(w_new, lam_new, zl_new, zu_new, mu)
+            err_parts, gjc_new = kkt_error_parts(w_new, lam_new, zl_new, zu_new)
+            e_mu = error_from_parts(err_parts, mu)
             mu_min = jnp.asarray(max(1e-13, opt.tol / 100.0), dtype)
             mu_next = jnp.where(
                 e_mu <= opt.kappa_eps * mu,
@@ -429,7 +444,7 @@ def build_solver(
             # the filter is tied to phi_mu: reset it on barrier updates (IPOPT does)
             f_count = jnp.where(mu_next != mu, 0, f_count)
 
-            e_0 = kkt_error(w_new, lam_new, zl_new, zu_new, jnp.zeros((), dtype))
+            e_0 = error_from_parts(err_parts, jnp.zeros((), dtype))
             status_new = jnp.where(e_0 <= opt.tol, SOLVED, status)
             status_new = jnp.where(bad & (it > 2), FAILED, status_new)
             status_new = jnp.where(
@@ -459,7 +474,8 @@ def build_solver(
                 jnp.maximum(opt.delta_w0, 10.0 * delta_used),
             )
             return (w_new, lam_new, zl_new, zu_new, mu_next, nu, delta_used, it + 1,
-                    status_new, hist_new, f_theta, f_phi, f_count, delta_start_next)
+                    status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,
+                    gjc_new)
 
         def loop_cond(state):
             return state[8] == RUNNING
@@ -471,6 +487,7 @@ def build_solver(
                       "lin_err", "dpsi", "nu", "step_inf")
         }
         hist0["ls_iters"] = jnp.zeros((slots,), jnp.int32)
+        _, gjc0 = kkt_error_parts(w0, lam0, zl_d0, zu_d0)
         state0 = (
             w0, lam0, zl_d0, zu_d0, mu0,
             jnp.asarray(1.0, dtype),           # nu
@@ -482,9 +499,10 @@ def build_solver(
             jnp.full((n_filter,), -jnp.inf, dtype),         # filter phi
             jnp.asarray(0, jnp.int32),                      # filter count
             jnp.zeros((), dtype),                           # delta_start
+            gjc0,                                           # carried g/J/c
         )
         (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
-         _, _, _, _) = jax.lax.while_loop(loop_cond, step, state0)
+         _, _, _, _, _) = jax.lax.while_loop(loop_cond, step, state0)
         e_final = kkt_error(w, lam, zl_d, zu_d, jnp.zeros((), dtype))
         return IPMResult(
             z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
