@@ -18,6 +18,20 @@ import jax as _jax
 if not _os.environ.get("LPOPC_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: mesh-refinement loops and tunneled-TPU
+# compiles (60-120 s each) amortize across runs. Opt out with
+# LPOPC_TPU_NO_CACHE=1.
+if not _os.environ.get("LPOPC_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "LPOPC_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 from .core.problem import INF, Linkage, Phase, Problem  # noqa: E402,F401
 from .core.transcribe import NLP, transcribe  # noqa: E402,F401
 

@@ -125,7 +125,7 @@ def build_solver(
     hess_l = hess_fn if hess_fn is not None else jax.hessian(lagrangian, argnums=0)
     jac_c = jac_fn if jac_fn is not None else jax.jacfwd(constraints)
 
-    def solve(z0, zl, zu, cl, cu):
+    def solve(z0, zl, zu, cl, cu, lam0=None):
         dtype = z0.dtype
         wl = jnp.concatenate([zl, cl]).astype(dtype)
         wu = jnp.concatenate([zu, cu]).astype(dtype)
@@ -156,7 +156,7 @@ def build_solver(
         gl0, gu0 = gaps(w0)
         zl_d0 = jnp.where(has_lo, mu0 / gl0, 0.0)
         zu_d0 = jnp.where(has_up, mu0 / gu0, 0.0)
-        lam0 = jnp.zeros((m,), dtype)
+        lam0 = jnp.zeros((m,), dtype) if lam0 is None else jnp.asarray(lam0, dtype)
 
         nb = jnp.sum(has_lo) + jnp.sum(has_up)
 
@@ -269,11 +269,14 @@ def build_solver(
                 dz1 = dz0 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz0)
                 dz1 = dz1 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz1)
                 r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
+                # absolute floor: once the residual is at rounding level
+                # relative to the rhs, "growth" is noise, not indefiniteness
+                floor = 1e-9 * (1.0 + jnp.max(jnp.abs(rhs0)))
                 ok = (
                     jnp.all(jnp.isfinite(jnp.diagonal(L)))
                     & (jnp.min(jnp.diagonal(L)) > 0.0)
                     & jnp.all(jnp.isfinite(dz1))
-                    & (r_end <= 1.2 * r0 + 1e-300)
+                    & ((r_end <= 1.2 * r0 + 1e-300) | (r_end <= floor))
                 )
 
                 dz, ds, dlam = csolve(-a, -b, -r_p)
@@ -472,6 +475,21 @@ def build_solver(
                 accepted,
                 jnp.zeros((), dtype),
                 jnp.maximum(opt.delta_w0, 10.0 * delta_used),
+            )
+            # Soft restoration: repeated line-search failures at high
+            # regularization mean the filter has deadlocked (IPOPT would enter
+            # its restoration phase here). Re-center instead: clear the
+            # filter, reset the bound duals onto the central path, raise mu,
+            # and drop the regularization.
+            stuck = (~accepted) & (delta_start >= 1e6)
+            gl_n, gu_n = gaps(w_new)
+            mu_next = jnp.where(stuck, jnp.maximum(mu, jnp.asarray(1e-2, dtype)), mu_next)
+            f_count = jnp.where(stuck, 0, f_count)
+            zl_new = jnp.where(stuck & has_lo, mu_next / gl_n, zl_new)
+            zu_new = jnp.where(stuck & has_up, mu_next / gu_n, zu_new)
+            delta_start_next = jnp.where(
+                stuck, jnp.zeros((), dtype),
+                jnp.minimum(delta_start_next, 1e8),
             )
             return (w_new, lam_new, zl_new, zu_new, mu_next, nu, delta_used, it + 1,
                     status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,

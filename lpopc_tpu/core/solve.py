@@ -103,7 +103,57 @@ def _mesh_signature(problem: Problem):
     )
 
 
-def solve_on_mesh(problem: Problem, options: SolveOptions) -> Solution:
+def _warm_duals(prev_sol: Solution, problem: Problem, nlp) -> np.ndarray:
+    """Interpolate the previous grid's duals onto the new mesh.
+
+    Defect multipliers are tied to the mesh through the Radau transformation
+    ``λ_k = -costate(τ_k) w_k`` (see postprocess.py); the *costate* is the
+    smooth mesh-independent object, so it is what gets interpolated. Event /
+    linkage / linear-row duals are mesh-independent and copied.
+    """
+    from ..ops.interp import cubic_spline_interpolate
+
+    lam0 = np.zeros(nlp.layout.ncon)
+    for ph, pl, op, psol in zip(
+        problem.phases, nlp.layout.phases, nlp.ops, prev_sol.phases
+    ):
+        t0, tf = psol.t0, psol.tf
+        half = (tf - t0) / 2.0
+        t_col_new = (np.asarray(op.tau) + 1.0) * half + t0
+        w_new = np.asarray(op.w)
+        cs = cubic_spline_interpolate(psol.t_col, psol.costate, t_col_new)
+        cs = np.clip(cs, psol.costate.min(axis=0), psol.costate.max(axis=0))
+        lam0[pl.con_offset : pl.con_offset + pl.N * pl.nx] = (
+            -cs * w_new[:, None]
+        ).reshape(-1)
+        if ph.npath > 0:
+            pm = cubic_spline_interpolate(
+                psol.t_col, psol.path_multipliers, t_col_new
+            )
+            poff = pl.con_offset + pl.N * pl.nx
+            lam0[poff : poff + pl.N * ph.npath] = (
+                -pm * (tf - t0) * w_new[:, None] / 2.0
+            ).reshape(-1)
+    # events/linkages/linear rows: copy via the stored phase block tails
+    prev_off = 0
+    for ph, pl, psol in zip(problem.phases, nlp.layout.phases, prev_sol.phases):
+        N_prev = psol.t_col.shape[0]
+        prev_block = N_prev * (ph.nx + ph.npath)
+        if ph.nevent > 0:
+            eoff_new = pl.con_offset + pl.N * (ph.nx + ph.npath)
+            lam0[eoff_new : eoff_new + ph.nevent] = prev_sol.lam[
+                prev_off + prev_block : prev_off + prev_block + ph.nevent
+            ]
+        prev_off += prev_block + ph.nevent
+    tail = prev_sol.lam.shape[0] - prev_off
+    if tail > 0:
+        lam0[nlp.layout.ncon - tail :] = prev_sol.lam[prev_off:]
+    return lam0
+
+
+def solve_on_mesh(
+    problem: Problem, options: SolveOptions, prev_sol: Solution = None
+) -> Solution:
     """Single fixed-mesh solve: transcription + scaling + one IPM run."""
     nlp = transcribe(problem)
     scaled = scale_nlp(
@@ -124,11 +174,17 @@ def solve_on_mesh(problem: Problem, options: SolveOptions) -> Solution:
         scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
         jac_fn=jac_fn, hess_fn=hess_fn,
     )
+    lam0 = None
+    if prev_sol is not None:
+        # scaled-problem duals: lambda_scaled = lambda * s_f / S_c
+        lam_raw = _warm_duals(prev_sol, problem, nlp)
+        lam0 = jnp.asarray(lam_raw * scaled.obj_scale / scaled.con_scale)
     t_start = time.perf_counter()
-    res = jax.jit(solver)(
+    args = (
         jnp.asarray(scaled.z0), jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
         jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
     )
+    res = jax.jit(solver)(*args) if lam0 is None else jax.jit(solver)(*args, lam0)
     res = jax.tree_util.tree_map(np.asarray, res)
     wall = time.perf_counter() - t_start
     z = scaled.unscale_z(res.z)
@@ -160,7 +216,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     refiner_state = None
     original_phases = problem.phases
     for grid in range(max(1, options.max_grid_num)):
-        sol = solve_on_mesh(problem, options)
+        sol = solve_on_mesh(problem, options, prev_sol=prev_sol)
         if sol.status != SOLVED and grid > 0:
             # Warm start led the NLP astray (local blowup / divergence): retry
             # this mesh cold from the user's original guess before giving up.

@@ -101,15 +101,22 @@ def make_batch_solver(
     )
     vsolver = jax.vmap(solver)
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         arg_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
-        run = jax.jit(
+        jitted = jax.jit(
             vsolver,
-            in_shardings=(arg_sharding,) * 5,
+            in_shardings=(arg_sharding,) * 6,
             donate_argnums=(0,) if donate else (),
         )
     else:
-        run = jax.jit(vsolver, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(vsolver, donate_argnums=(0,) if donate else ())
+
+    m_rows = nlp.m
+
+    def run(z0, zl, zu, cl, cu, lam0=None):
+        if lam0 is None:
+            lam0 = jnp.zeros((z0.shape[0], m_rows), dtype=jnp.asarray(z0).dtype)
+        return jitted(z0, zl, zu, cl, cu, lam0)
+
     return BatchSolver(
         problem=problem, nlp=nlp, scaled=scaled, run=run, n=nlp.n, m=nlp.m
     )

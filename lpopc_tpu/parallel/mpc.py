@@ -48,6 +48,7 @@ class MPCController:
             )
         self.bs: BatchSolver = make_batch_solver(self.problem, opts)
         self._z_prev = None
+        self._lam_prev = None
         self.solve_times = []
 
     def step(self, x0):
@@ -64,11 +65,17 @@ class MPCController:
             sl = slice(pl.var_offset, pl.var_offset + pl.nx)
             z0 = np.array(z0)
             z0[:, sl] = zl[:, sl]
+        lam0 = (
+            jnp.asarray(self._lam_prev)
+            if self._lam_prev is not None and self._lam_prev.shape[0] == B
+            else jnp.zeros((B, self.bs.m))
+        )
         t0 = time.perf_counter()
-        res = self.bs.run(*(jnp.asarray(a) for a in (z0, zl, zu, cl, cu)))
+        res = self.bs.run(*(jnp.asarray(a) for a in (z0, zl, zu, cl, cu)), lam0)
         jax.block_until_ready(res.z)
         self.solve_times.append(time.perf_counter() - t0)
         self._z_prev = np.asarray(res.z)
+        self._lam_prev = np.asarray(res.lam)
         u_off = pl.var_offset + pl.npts * pl.nx
         u0 = self._z_prev[:, u_off : u_off + pl.nu] / \
             self.bs.scaled.var_scale[u_off : u_off + pl.nu][None, :]

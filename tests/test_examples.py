@@ -70,6 +70,33 @@ def test_moonlander_refinement_improves_accuracy():
     assert err_refined < 5e-3
 
 
+def test_lowthrust_published_radius(fast_opts):
+    from lpopc_tpu.models import lowthrust
+
+    sol = solve(lowthrust.make_problem(), fast_opts)
+    assert sol.solved
+    rf = -sol.objective
+    assert abs(rf - 1.525) < 1e-3  # published optimum ~1.525
+    # terminal circular-orbit event satisfied
+    xf = sol.phases[0].x[-1]
+    assert abs(xf[2] - np.sqrt(1.0 / xf[0])) < 1e-7
+
+
+def test_launch_published_final_mass():
+    from lpopc_tpu.models import launch
+
+    sol = solve(launch.make_problem(), SolveOptions(mesh_method="none",
+                                                    max_iterations=400))
+    assert sol.solved
+    mass = launch.final_mass_kg(sol)
+    assert abs(mass - 7529.71) < 1.0  # GPOPS-literature optimum ~7529.7 kg
+    tf = sol.phases[3].tf * launch.TU
+    assert 900.0 < tf < 950.0
+    # linkage mass drops satisfied: m jumps down by the jettisoned dry mass
+    for i, link in enumerate(sol.phases[:-1]):
+        assert sol.phases[i + 1].x[0, 6] < sol.phases[i].x[-1, 6] + 1e-9
+
+
 def test_costate_sign_convention(fast_opts):
     # min ∫ u^2/2, dx = u, x(0)=0, x(1)=1: u* = 1, costate = -u* = -1
     # (H = u²/2 + λu minimized over u ⇒ λ = -u)
