@@ -61,7 +61,9 @@ class IPMOptions:
     s_max: float = 100.0         # residual scaling threshold
     kappa_sigma: float = 1e10    # dual safeguard
     delta_w0: float = 1e-4       # first nonzero primal regularization
-    delta_w_max: float = 1e20
+    delta_w_max: float = 1e8     # cap on the boosted regularization start
+    delta_w_stuck: float = 1e6   # boosted-delta level that triggers soft restoration
+    mu_restore: float = 1e-2     # mu floor applied by the soft restoration
     # Dual (constraint) regularization. This is also the condensation penalty
     # for equality rows (d = 1/delta_c): kept moderate so cond(K) stays within
     # f64 range on stiff meshes; the full-KKT iterative refinement below
@@ -481,15 +483,17 @@ def build_solver(
             # its restoration phase here). Re-center instead: clear the
             # filter, reset the bound duals onto the central path, raise mu,
             # and drop the regularization.
-            stuck = (~accepted) & (delta_start >= 1e6)
+            stuck = (~accepted) & (delta_start >= opt.delta_w_stuck)
             gl_n, gu_n = gaps(w_new)
-            mu_next = jnp.where(stuck, jnp.maximum(mu, jnp.asarray(1e-2, dtype)), mu_next)
+            mu_next = jnp.where(
+                stuck, jnp.maximum(mu, jnp.asarray(opt.mu_restore, dtype)), mu_next
+            )
             f_count = jnp.where(stuck, 0, f_count)
             zl_new = jnp.where(stuck & has_lo, mu_next / gl_n, zl_new)
             zu_new = jnp.where(stuck & has_up, mu_next / gu_n, zu_new)
             delta_start_next = jnp.where(
                 stuck, jnp.zeros((), dtype),
-                jnp.minimum(delta_start_next, 1e8),
+                jnp.minimum(delta_start_next, opt.delta_w_max),
             )
             return (w_new, lam_new, zl_new, zu_new, mu_next, nu, delta_used, it + 1,
                     status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,
