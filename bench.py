@@ -62,6 +62,48 @@ def bench_hypersensitive(batch: int = 64):
     }
 
 
+def bench_launch(batch: int = 32):
+    """Batched multiphase launch sweep (BASELINE config #5, single-chip slice):
+    perturbed payload-capability instances of the 4-phase GTO ascent."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpopc_tpu.core.ipm import IPMOptions, SOLVED
+    from lpopc_tpu.core.solve import SolveOptions
+    from lpopc_tpu.models import launch
+    from lpopc_tpu.parallel.batch import make_batch_solver
+
+    problem = launch.make_problem()
+    options = SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60))
+    bs = make_batch_solver(problem, options)
+    rng = np.random.default_rng(0)
+    z0, zl, zu, cl, cu = bs.nominal_inputs(batch)
+    # perturb the (pinned) initial mass per instance by up to +-1%
+    pl = bs.nlp.layout.phases[0]
+    mrow = pl.var_offset + 6  # mass component of x0
+    d = 0.01 * rng.uniform(-1, 1, batch) * bs.scaled.var_scale[mrow]
+    zl[:, mrow] += d
+    zu[:, mrow] += d
+    args = tuple(jnp.asarray(a) for a in (z0, zl, zu, cl, cu))
+    t0 = time.perf_counter()
+    res = bs.run(*args)
+    jax.block_until_ready(res.objective)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = bs.run(*args)
+    jax.block_until_ready(res.objective)
+    wall = time.perf_counter() - t0
+    frac = float(np.mean(np.asarray(res.status) == SOLVED))
+    return {
+        "metric": "batched_launch4phase_solves_per_s_per_chip",
+        "value": round(batch * frac / wall, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(batch * frac / wall / REFERENCE_SOLVES_PER_S, 2),
+        "batch": batch, "solved_frac": round(frac, 4),
+        "wall_s": round(wall, 3), "compile_s": round(compile_s, 1),
+    }
+
+
 def bench_mpc(steps: int = 30):
     """p50 receding-horizon solve latency (BASELINE.json metric #3)."""
     import jax.numpy as jnp
@@ -107,6 +149,9 @@ def main():
         return
     if len(sys.argv) > 1 and sys.argv[1] == "mpc":
         print(json.dumps(bench_mpc()))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "launch":
+        print(json.dumps(bench_launch(int(sys.argv[2]) if len(sys.argv) > 2 else 32)))
         return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512

@@ -68,9 +68,6 @@ class SolveOptions:
         return IPMOptions(tol=self.tol, max_iter=self.max_iterations, mu_init=self.mu_init)
 
 
-_SOLVER_CACHE: dict = {}
-
-
 def describe_problem(problem: Problem, options: SolveOptions = None) -> str:
     """Problem-size/options summary (the reference prints this at solve start,
     ``LpopcAlgorithm::OutputProblemInfo``, ``LpLpopcAlgorithm.cpp:264-345``)."""
