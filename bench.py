@@ -14,10 +14,17 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache for the (slow) tunneled-TPU compiles
+os.environ.setdefault(
+    "LPOPC_TPU_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 REFERENCE_SOLVES_PER_S = 2.0  # single-core C++ lpopc estimate (BASELINE.md)
 

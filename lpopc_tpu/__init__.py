@@ -18,16 +18,16 @@ import jax as _jax
 if not _os.environ.get("LPOPC_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: mesh-refinement loops and tunneled-TPU
-# compiles (60-120 s each) amortize across runs. Opt out with
-# LPOPC_TPU_NO_CACHE=1.
-if not _os.environ.get("LPOPC_TPU_NO_CACHE"):
-    _cache_dir = _os.environ.get(
-        "LPOPC_TPU_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
-    )
+# Persistent compilation cache (opt-in): mesh-refinement loops and
+# tunneled-TPU compiles (60-120 s each) amortize across runs. Set
+# LPOPC_TPU_CACHE_DIR to enable; bench.py enables it for TPU runs. (Not on by
+# default because XLA:CPU AOT cache entries are machine-feature-pinned and
+# warn/SIGILL when the pinning mismatches.)
+if _os.environ.get("LPOPC_TPU_CACHE_DIR"):
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.environ["LPOPC_TPU_CACHE_DIR"]
+        )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass

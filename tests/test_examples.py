@@ -97,6 +97,19 @@ def test_launch_published_final_mass():
         assert sol.phases[i + 1].x[0, 6] < sol.phases[i].x[-1, 6] + 1e-9
 
 
+def test_vanderpol_published_cost(fast_opts):
+    from lpopc_tpu.models import vanderpol
+
+    free = solve(vanderpol.make_problem(bounded=False), fast_opts)
+    assert free.solved
+    assert abs(free.objective - 2.867) < 5e-3  # published ~2.87
+    bounded = solve(vanderpol.make_problem(bounded=True), fast_opts)
+    assert bounded.solved
+    # the state bound activates exactly and raises the cost
+    assert bounded.objective > free.objective
+    np.testing.assert_allclose(bounded.phases[0].x[:, 1].min(), -0.3, atol=1e-6)
+
+
 def test_costate_sign_convention(fast_opts):
     # min ∫ u^2/2, dx = u, x(0)=0, x(1)=1: u* = 1, costate = -u* = -1
     # (H = u²/2 + λu minimized over u ⇒ λ = -u)
