@@ -80,6 +80,7 @@ class IPMOptions:
     max_reg: int = 30            # max regularization increases per iteration
     max_refine: int = 1          # iterative-refinement rounds on the KKT step
     record_history: bool = False # per-iteration (kkt, mu, alpha, delta) trace
+    lane_kkt: bool = False       # lane-parallel Pallas KKT kernels under vmap
 
 
 class IPMResult(NamedTuple):
@@ -126,6 +127,14 @@ def build_solver(
 
     hess_l = hess_fn if hess_fn is not None else jax.hessian(lagrangian, argnums=0)
     jac_c = jac_fn if jac_fn is not None else jax.jacfwd(constraints)
+
+    if opt.lane_kkt:
+        from ..ops.batched_linalg import smart_cholesky_and_solve
+
+        _chol, _cho_solve = smart_cholesky_and_solve()
+    else:
+        _chol = jnp.linalg.cholesky
+        _cho_solve = lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
 
     def solve(z0, zl, zu, cl, cu, lam0=None):
         dtype = z0.dtype
@@ -243,15 +252,15 @@ def build_solver(
                 d = sig_s / (1.0 + delta_c * sig_s)
                 wdiag = sigma_z + delta_w
                 K = H + jnp.diag(wdiag) + (J.T * d) @ J
-                L = jnp.linalg.cholesky(K)
+                L = _chol(K)
 
                 def csolve(ra, rb, rc):
                     """Solve the delta_c-regularized Newton system
                     [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
                     W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
                     rhs = ra + J.T @ (d * (rc + rb / sig_s))
-                    dz_ = jax.scipy.linalg.cho_solve((L, True), rhs)
-                    dz_ = dz_ + jax.scipy.linalg.cho_solve((L, True), rhs - K @ dz_)
+                    dz_ = _cho_solve(L, rhs)
+                    dz_ = dz_ + _cho_solve(L, rhs - K @ dz_)
                     dlam_ = d * (J @ dz_ - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
@@ -266,10 +275,10 @@ def build_solver(
                 # divergence). A growing refinement residual flags indefinite
                 # K and triggers the δw regularization search.
                 rhs0 = -a - J.T @ (d * (r_p + b / sig_s))
-                dz0 = jax.scipy.linalg.cho_solve((L, True), rhs0)
+                dz0 = _cho_solve(L, rhs0)
                 r0 = jnp.max(jnp.abs(rhs0 - K @ dz0))
-                dz1 = dz0 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz0)
-                dz1 = dz1 + jax.scipy.linalg.cho_solve((L, True), rhs0 - K @ dz1)
+                dz1 = dz0 + _cho_solve(L, rhs0 - K @ dz0)
+                dz1 = dz1 + _cho_solve(L, rhs0 - K @ dz1)
                 r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
                 # absolute floor: once the residual is at rounding level
                 # relative to the rhs, "growth" is noise, not indefiniteness

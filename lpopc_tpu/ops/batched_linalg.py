@@ -112,6 +112,44 @@ def lane_cholesky(K: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     return jnp.moveaxis(Lt[:, :, :B], -1, 0)
 
 
+def smart_cholesky_and_solve():
+    """(chol, solve) pair that transparently switches to the lane-parallel
+    Pallas kernels when used under ``vmap`` (i.e. inside a batched IPM).
+
+    Built on ``jax.custom_batching.custom_vmap``: the unbatched rule is XLA's
+    native Cholesky/solve; the batched rule dispatches the whole batch to the
+    lane kernels (batch on the 128-wide lane dimension).
+    """
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def chol(K):
+        return jnp.linalg.cholesky(K)
+
+    @chol.def_vmap
+    def _chol_vmap(axis_size, in_batched, K):
+        (kb,) = in_batched
+        if not kb:
+            return jnp.linalg.cholesky(K), False
+        return lane_cholesky(K), True
+
+    @custom_vmap
+    def solve(L, b):
+        return jax.scipy.linalg.cho_solve((L, True), b)
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, L, b):
+        lb, bb = in_batched
+        if not (lb and bb):
+            L2 = L if lb else jnp.broadcast_to(L, (axis_size,) + L.shape)
+            b2 = b if bb else jnp.broadcast_to(b, (axis_size,) + b.shape)
+        else:
+            L2, b2 = L, b
+        return lane_cho_solve(L2, b2), True
+
+    return chol, solve
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lane_cho_solve(L: jnp.ndarray, b: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """Solve L Lᵀ x = b for a batch, batch on lanes. L: (B, n, n), b: (B, n)."""
