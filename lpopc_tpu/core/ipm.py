@@ -226,8 +226,8 @@ def build_solver(
 
         # ----- one interior-point iteration -----
         def step(state):
-            (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
-             f_theta, f_phi, f_count, delta_start, gjc) = state
+            (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
+             f_theta, f_phi, f_count, delta_start, gjc, _e0_prev) = state
             z = w[:n]
             gl, gu = gaps(w)
             g_z, J, c_val = gjc   # carried from the previous convergence check
@@ -237,6 +237,13 @@ def build_solver(
             sigma = jnp.where(has_lo, zl_d / gl, 0.0) + jnp.where(has_up, zu_d / gu, 0.0)
             sigma = jnp.where(fixed, _BIG, sigma)
             sigma_z, sigma_s = sigma[:n], sigma[n:]
+            # Slack rows with no finite bound (a vacuous constraint row) have
+            # sigma_s = 0, which would make the condensation divide by zero at
+            # delta_w = 0 and force spurious regularization every iteration;
+            # a tiny floor keeps the row inert (d ~ 1e-8 drops it from K)
+            # while all divisions stay finite.
+            free_s = (~has_lo[n:]) & (~has_up[n:]) & (~fixed[n:])
+            sigma_s = jnp.where(free_s, jnp.maximum(sigma_s, 1e-8), sigma_s)
 
             # mu-perturbed dual residuals (a: z rows, b: s rows)
             mu_term = -jnp.where(has_lo, mu / gl, 0.0) + jnp.where(has_up, mu / gu, 0.0)
@@ -360,7 +367,6 @@ def build_solver(
                 + jnp.where(has_up, mu / gu_safe, 0.0)
             )
             dphi = jnp.dot(jnp.where(fixed, 0.0, grad_phi), dw)
-            dpsi = dphi  # recorded in history
             filter_active = (
                 jnp.arange(n_filter) < f_count
             )
@@ -475,8 +481,7 @@ def build_solver(
                 "theta": hist["theta"].at[slot].set(theta(w_new)),
                 "ls_iters": hist["ls_iters"].at[slot].set(jj),
                 "lin_err": hist["lin_err"].at[slot].set(lin_err),
-                "dpsi": hist["dpsi"].at[slot].set(dpsi),
-                "nu": hist["nu"].at[slot].set(nu),
+                "dphi": hist["dphi"].at[slot].set(dphi),
                 "step_inf": hist["step_inf"].at[slot].set(jnp.max(jnp.abs(dw))),
             }
             # boost the next regularization start after a failed line search:
@@ -504,24 +509,24 @@ def build_solver(
                 stuck, jnp.zeros((), dtype),
                 jnp.minimum(delta_start_next, opt.delta_w_max),
             )
-            return (w_new, lam_new, zl_new, zu_new, mu_next, nu, delta_used, it + 1,
+            return (w_new, lam_new, zl_new, zu_new, mu_next, delta_used, it + 1,
                     status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,
-                    gjc_new)
+                    gjc_new, e_0)
 
         def loop_cond(state):
-            return state[8] == RUNNING
+            return state[7] == RUNNING
 
         slots = opt.max_iter if opt.record_history else 1
         hist0 = {
             k: jnp.zeros((slots,), dtype)
             for k in ("kkt", "mu", "alpha", "alpha_max", "delta_w", "theta",
-                      "lin_err", "dpsi", "nu", "step_inf")
+                      "lin_err", "dphi", "step_inf")
         }
         hist0["ls_iters"] = jnp.zeros((slots,), jnp.int32)
-        _, gjc0 = kkt_error_parts(w0, lam0, zl_d0, zu_d0)
+        parts0, gjc0 = kkt_error_parts(w0, lam0, zl_d0, zu_d0)
+        e0_init = error_from_parts(parts0, jnp.zeros((), dtype))
         state0 = (
             w0, lam0, zl_d0, zu_d0, mu0,
-            jnp.asarray(1.0, dtype),           # nu
             jnp.zeros((), dtype),              # delta_last
             jnp.asarray(0, jnp.int32),
             jnp.asarray(RUNNING, jnp.int32),
@@ -531,10 +536,10 @@ def build_solver(
             jnp.asarray(0, jnp.int32),                      # filter count
             jnp.zeros((), dtype),                           # delta_start
             gjc0,                                           # carried g/J/c
+            e0_init,                                        # carried E_0
         )
-        (w, lam, zl_d, zu_d, mu, nu, delta_last, it, status, hist,
-         _, _, _, _, _) = jax.lax.while_loop(loop_cond, step, state0)
-        e_final = kkt_error(w, lam, zl_d, zu_d, jnp.zeros((), dtype))
+        (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
+         _, _, _, _, _, e_final) = jax.lax.while_loop(loop_cond, step, state0)
         return IPMResult(
             z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
             status=status, iterations=it,

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..ops.lgr import SegmentOps
 from .problem import Problem
-from .transcribe import Layout, phase_times, unpack_phase
+from .transcribe import Layout, unpack_phase
 
 
 @dataclass
@@ -90,6 +90,13 @@ class Solution:
 
     @property
     def solved(self) -> bool:
+        """NLP converged. Status 5 (mesh grid cap reached) is only ever set on
+        top of a converged NLP, so it counts as solved; use
+        :attr:`mesh_converged` to distinguish."""
+        return self.status in (1, 5)
+
+    @property
+    def mesh_converged(self) -> bool:
         return self.status == 1
 
 

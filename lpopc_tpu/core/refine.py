@@ -102,7 +102,7 @@ def ph_refine_phase(
             new_frac.append(b)
             continue
         ok = False
-        P = max(1, math.ceil(math.log(e / tol) / math.log(nk)))
+        P = max(1, math.ceil(math.log(e / tol) / math.log(max(nk, 2))))
         if nk + P <= n_max:
             new_deg.append(nk + P)
             new_frac.append(b)

@@ -148,29 +148,63 @@ def _warm_duals(prev_sol: Solution, problem: Problem, nlp) -> np.ndarray:
     return lam0
 
 
+_SOLVER_CACHE: dict = {}
+_SOLVER_CACHE_CAP = 32
+
+
+def _solver_cache_key(problem: Problem, nlp, options: SolveOptions):
+    fn_ids = tuple(
+        (id(ph.dynamics), id(ph.path), id(ph.lagrange), id(ph.mayer), id(ph.event))
+        for ph in problem.phases
+    ) + tuple(id(l.fn) for l in problem.linkages)
+    bounds_sig = (
+        nlp.zl.tobytes(), nlp.zu.tobytes(), nlp.cl.tobytes(), nlp.cu.tobytes()
+    )
+    return (
+        fn_ids, _mesh_signature(problem), bounds_sig, options.ipm_options(),
+        options.auto_scale, options.variable_scaling,
+        options.structured_derivatives,
+    )
+
+
 def solve_on_mesh(
     problem: Problem, options: SolveOptions, prev_sol: Solution = None
 ) -> Solution:
-    """Single fixed-mesh solve: transcription + scaling + one IPM run."""
-    nlp = transcribe(problem)
-    scaled = scale_nlp(
-        nlp.objective, nlp.constraints,
-        nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
-        enabled=options.auto_scale,
-        variable_scaling=options.variable_scaling,
-    )
-    jac_fn = hess_fn = None
-    if options.structured_derivatives:
-        from .structured import make_structured_hessian, make_structured_jacobian
+    """Single fixed-mesh solve: transcription + scaling + one IPM run.
 
-        jac_fn, hess_fn = scaled.wrap_structured(
-            make_structured_jacobian(problem, nlp.layout, nlp.ops),
-            make_structured_hessian(problem, nlp.layout, nlp.ops),
+    Compiled solvers are cached per (user functions, mesh, bounds, options)
+    so repeated solves on the same discretization — cold restarts, repeated
+    calls, receding-horizon loops — skip re-tracing and recompilation. The
+    cache entry keeps strong references to the user callables so ``id``-based
+    keys cannot be recycled.
+    """
+    nlp = transcribe(problem)
+    key = _solver_cache_key(problem, nlp, options)
+    entry = _SOLVER_CACHE.get(key)
+    if entry is None:
+        scaled = scale_nlp(
+            nlp.objective, nlp.constraints,
+            nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
+            enabled=options.auto_scale,
+            variable_scaling=options.variable_scaling,
         )
-    solver = build_solver(
-        scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
-        jac_fn=jac_fn, hess_fn=hess_fn,
-    )
+        jac_fn = hess_fn = None
+        if options.structured_derivatives:
+            from .structured import make_structured_hessian, make_structured_jacobian
+
+            jac_fn, hess_fn = scaled.wrap_structured(
+                make_structured_jacobian(problem, nlp.layout, nlp.ops),
+                make_structured_hessian(problem, nlp.layout, nlp.ops),
+            )
+        solver = jax.jit(build_solver(
+            scaled.objective, scaled.constraints, nlp.n, nlp.m,
+            options.ipm_options(), jac_fn=jac_fn, hess_fn=hess_fn,
+        ))
+        entry = (scaled, solver, problem)
+        _SOLVER_CACHE[key] = entry
+        while len(_SOLVER_CACHE) > _SOLVER_CACHE_CAP:
+            _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
+    scaled, jitted_solver, _ = entry
     lam0 = None
     if prev_sol is not None:
         # scaled-problem duals: lambda_scaled = lambda * s_f / S_c
@@ -178,10 +212,11 @@ def solve_on_mesh(
         lam0 = jnp.asarray(lam_raw * scaled.obj_scale / scaled.con_scale)
     t_start = time.perf_counter()
     args = (
-        jnp.asarray(scaled.z0), jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
+        jnp.asarray(nlp.z0 * scaled.var_scale),
+        jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
         jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
     )
-    res = jax.jit(solver)(*args) if lam0 is None else jax.jit(solver)(*args, lam0)
+    res = jitted_solver(*args) if lam0 is None else jitted_solver(*args, lam0)
     res = jax.tree_util.tree_map(np.asarray, res)
     wall = time.perf_counter() - t_start
     z = scaled.unscale_z(res.z)

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..ops.lgr import SegmentOps
 from .problem import Problem
-from .transcribe import Layout, phase_times, unpack_phase
+from .transcribe import Layout, unpack_phase
 
 
 def _node_indices(pl, nq_cols=True) -> np.ndarray:

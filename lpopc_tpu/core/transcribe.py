@@ -172,10 +172,13 @@ def make_objective(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) 
         for ph, pl, op in zip(problem.phases, layout.phases, ops):
             X, U, t0, tf, q = unpack_phase(pl, z)
             if ph.mayer is not None:
-                total = total + ph.mayer(X[0], t0, X[-1], tf, q)
+                total = total + jnp.reshape(ph.mayer(X[0], t0, X[-1], tf, q), ())
             if ph.lagrange is not None:
                 t_c, _ = phase_times(op, t0, tf)
-                L = jax.vmap(ph.lagrange, in_axes=(0, 0, 0, None))(X[:-1], U, t_c, q)
+                L = jax.vmap(
+                    lambda x, u, t, q_: jnp.reshape(ph.lagrange(x, u, t, q_), ()),
+                    in_axes=(0, 0, 0, None),
+                )(X[:-1], U, t_c, q)
                 w = jnp.asarray(op.w, dtype=z.dtype)
                 total = total + (tf - t0) / 2.0 * jnp.dot(w, L)
         return total

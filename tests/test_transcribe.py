@@ -165,6 +165,23 @@ def test_ad_consistency():
     check_grads(nlp.constraints, (z,), order=1, modes=["fwd", "rev"], atol=1e-6, rtol=1e-6)
 
 
+def test_control_free_phase_integrates_exactly():
+    # nu = 0: pure collocation BVP; degree-12 LGR integrates exp decay to
+    # machine precision over [0, 2]
+    from lpopc_tpu.core.solve import SolveOptions, solve
+
+    ph = Phase(
+        nx=1, nu=0,
+        dynamics=lambda x, u, t, q: jnp.array([-x[0]]),
+        x0_bounds=(1.0, 1.0), x_bounds=(-5.0, 5.0),
+        t0_bounds=(0.0, 0.0), tf_bounds=(2.0, 2.0),
+        mesh_degrees=(12,), mesh_fractions=(-1.0, 1.0),
+    )
+    sol = solve(Problem(phases=(ph,)), SolveOptions(mesh_method="none"))
+    assert sol.solved
+    np.testing.assert_allclose(sol.phases[0].x[-1, 0], np.exp(-2.0), atol=1e-12)
+
+
 def test_jit_and_vmap_compatible():
     prob = Problem(phases=[_poly_phase()])
     nlp = transcribe(prob)
