@@ -36,49 +36,75 @@ def _interpret() -> bool:
 
 
 def _chol_kernel(k_ref, l_ref):
+    # Mosaic-friendly formulation: NO dynamic ref indexing — each column step
+    # extracts/writes column j via full-tensor masked selects and masked-sum
+    # reductions (all shapes static). Also strict dtype hygiene (explicit
+    # casts) and int32 loop counters: weak-f64 literals / int64 indices under
+    # jax_enable_x64 break Mosaic's convert-element-type lowering.
     n = k_ref.shape[0]
+    dt = k_ref.dtype
+    zero = jnp.zeros((), dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)[:, :, None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)[:, :, None]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     l_ref[:] = k_ref[:]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
-    def col_step(j, _):
-        pivot = jnp.sqrt(l_ref[j, j, :])                      # (B,)
-        colj = l_ref[:, j, :] / pivot[None, :]                # (n, B)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-        colj = jnp.where(row_ids >= j, colj, 0.0)
-        l_ref[:, j, :] = colj
-        outer = colj[:, None, :] * colj[None, :, :]           # (n, n, B)
-        mask = ((rows > j) & (cols > j))[:, :, None]
-        l_ref[:] = l_ref[:] - jnp.where(mask, outer, 0.0)
-        return 0
+    def col_step(j, carry):
+        L = l_ref[:]                                           # (n, n, B)
+        # column j (masked row-sum over the col axis) and its pivot
+        colj_raw = jnp.sum(jnp.where(cols == j, L, zero), axis=1)      # (n, B)
+        piv = jnp.sum(jnp.where(row1 == j, colj_raw, zero), axis=0)    # (B,)
+        colj = jnp.where(row1 >= j, colj_raw / jnp.sqrt(piv)[None, :], zero)
+        # write column j, then apply the trailing rank-1 update
+        L = jnp.where(cols == j, colj[:, None, :], L)
+        outer = colj[:, None, :] * colj[None, :, :]
+        L = L - jnp.where((rows > j) & (cols > j), outer, zero)
+        l_ref[:] = L
+        return carry
 
-    jax.lax.fori_loop(0, n, col_step, 0)
-    # zero the strict upper triangle
-    l_ref[:] = jnp.where((rows >= cols)[:, :, None], l_ref[:], 0.0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), col_step,
+                      jnp.zeros((), jnp.int32))
+    l_ref[:] = jnp.where(rows >= cols, l_ref[:], zero)
 
 
 def _solve_kernel(l_ref, b_ref, x_ref, y_scratch):
+    # Same static masked-op style as _chol_kernel (no dynamic ref indexing).
     n = l_ref.shape[0]
+    dt = l_ref.dtype
+    zero = jnp.zeros((), dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)[:, :, None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)[:, :, None]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     y_scratch[:] = jnp.zeros_like(y_scratch)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def fwd(j, _):
-        lrow = l_ref[j, :, :]                                  # (n, B)
-        acc = jnp.sum(jnp.where(row_ids < j, lrow * y_scratch[:], 0.0), axis=0)
-        y_scratch[j, :] = (b_ref[j, :] - acc) / l_ref[j, j, :]
-        return 0
+    def row_of(M, j):
+        return jnp.sum(jnp.where(rows == j, M, zero), axis=0)  # (n, B): row j
 
-    jax.lax.fori_loop(0, n, fwd, 0)
+    def diag_at(j):
+        return jnp.sum(jnp.where((rows == j) & (cols == j), l_ref[:], zero),
+                       axis=(0, 1))                            # (B,)
+
+    def fwd(j, carry):
+        lrow = row_of(l_ref[:], j)                             # (n, B) = L[j, :, :]
+        acc = jnp.sum(jnp.where(row1 < j, lrow * y_scratch[:], zero), axis=0)
+        bj = jnp.sum(jnp.where(row1 == j, b_ref[:], zero), axis=0)
+        val = (bj - acc) / diag_at(j)
+        y_scratch[:] = jnp.where(row1 == j, val[None, :], y_scratch[:])
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd, jnp.zeros((), jnp.int32))
     x_ref[:] = jnp.zeros_like(x_ref)
 
-    def bwd(jj, _):
-        j = n - 1 - jj
-        lcol = l_ref[:, j, :]                                  # rows i of column j = L^T row j
-        acc = jnp.sum(jnp.where(row_ids > j, lcol * x_ref[:], 0.0), axis=0)
-        x_ref[j, :] = (y_scratch[j, :] - acc) / l_ref[j, j, :]
-        return 0
+    def bwd(jj, carry):
+        j = jnp.int32(n - 1) - jj
+        lcol = jnp.sum(jnp.where(cols == j, l_ref[:], zero), axis=1)  # (n, B)
+        acc = jnp.sum(jnp.where(row1 > j, lcol * x_ref[:], zero), axis=0)
+        yj = jnp.sum(jnp.where(row1 == j, y_scratch[:], zero), axis=0)
+        val = (yj - acc) / diag_at(j)
+        x_ref[:] = jnp.where(row1 == j, val[None, :], x_ref[:])
+        return carry
 
-    jax.lax.fori_loop(0, n, bwd, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.zeros((), jnp.int32))
 
 
 def _pad_lanes(B: int) -> int:
