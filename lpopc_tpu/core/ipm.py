@@ -227,7 +227,8 @@ def build_solver(
         # ----- one interior-point iteration -----
         def step(state):
             (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
-             f_theta, f_phi, f_count, delta_start, gjc, _e0_prev) = state
+             f_theta, f_phi, f_count, delta_start, gjc, _e0_prev,
+             ls_fails) = state
             z = w[:n]
             gl, gu = gaps(w)
             g_z, J, c_val = gjc   # carried from the previous convergence check
@@ -492,12 +493,19 @@ def build_solver(
                 jnp.zeros((), dtype),
                 jnp.maximum(opt.delta_w0, 10.0 * delta_used),
             )
-            # Soft restoration: repeated line-search failures at high
-            # regularization mean the filter has deadlocked (IPOPT would enter
-            # its restoration phase here). Re-center instead: clear the
-            # filter, reset the bound duals onto the central path, raise mu,
-            # and drop the regularization.
-            stuck = (~accepted) & (delta_start >= opt.delta_w_stuck)
+            # Soft restoration: repeated line-search failures (high boosted
+            # regularization OR a streak of rejected searches) mean the filter
+            # has deadlocked (IPOPT would enter its restoration phase here).
+            # Re-center instead: clear the filter, reset the bound duals onto
+            # the central path, raise mu, and drop the regularization.
+            # a "real" step moves: micro-alpha acceptances count as failures
+            real_step = accepted & (alpha >= 1e-3 * alpha_max)
+            ls_fails = jnp.where(real_step, 0, ls_fails + 1)
+            stuck = (~real_step) & (
+                ((~accepted) & (delta_start >= opt.delta_w_stuck))
+                | (ls_fails >= 8)
+            )
+            ls_fails = jnp.where(stuck, 0, ls_fails)
             gl_n, gu_n = gaps(w_new)
             mu_next = jnp.where(
                 stuck, jnp.maximum(mu, jnp.asarray(opt.mu_restore, dtype)), mu_next
@@ -511,7 +519,7 @@ def build_solver(
             )
             return (w_new, lam_new, zl_new, zu_new, mu_next, delta_used, it + 1,
                     status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,
-                    gjc_new, e_0)
+                    gjc_new, e_0, ls_fails)
 
         def loop_cond(state):
             return state[7] == RUNNING
@@ -537,9 +545,10 @@ def build_solver(
             jnp.zeros((), dtype),                           # delta_start
             gjc0,                                           # carried g/J/c
             e0_init,                                        # carried E_0
+            jnp.asarray(0, jnp.int32),                      # ls failure streak
         )
         (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
-         _, _, _, _, _, e_final) = jax.lax.while_loop(loop_cond, step, state0)
+         _, _, _, _, _, e_final, _) = jax.lax.while_loop(loop_cond, step, state0)
         return IPMResult(
             z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
             status=status, iterations=it,
