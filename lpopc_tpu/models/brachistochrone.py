@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -19,7 +20,7 @@ G = 10.0
 
 def make_problem(xf: float = 2.0, yf: float = 2.0, degrees=(8, 8, 8), fractions=None) -> Problem:
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
 
     def dynamics(x, u, t, q):
         _, _, v = x

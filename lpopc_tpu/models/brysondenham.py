@@ -12,13 +12,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
 
 def make_problem(l: float = 1.0 / 9.0, degrees=(8, 8, 8, 8), fractions=None) -> Problem:
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
 
     phase = Phase(
         nx=3, nu=1,

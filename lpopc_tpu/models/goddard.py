@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -41,7 +42,7 @@ def make_problem(degrees=(8,) * 6, fractions=None, regularization: float = 1e-6)
     NLP methods; eps = 1e-6 shifts h* by O(eps)). Set 0 for the raw problem.
     """
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
 
     def dynamics(x, u, t, q):
         h, v, m = x
@@ -129,7 +130,7 @@ def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
                               [guess_h[i][1], guess_v[i][1], guess_m[i][1]]]),
             guess_u=np.array([[guess_T[i][0]], [guess_T[i][1]]]),
             mesh_degrees=tuple(degrees[i]),
-            mesh_fractions=tuple(np.linspace(-1, 1, len(degrees[i]) + 1).tolist()),
+            mesh_fractions=uniform_fractions(len(degrees[i])),
             name=f"goddard-phase-{i + 1}",
             **kw,
         ))

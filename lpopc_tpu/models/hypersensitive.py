@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -22,7 +23,7 @@ def make_problem(tf: float = 5000.0, degrees=None, fractions=None) -> Problem:
         # (meshpoints (-1,1); LpMeshRefiner.cpp:47-52)
         degrees = (20,)
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
 
     phase = Phase(
         nx=1, nu=1,

@@ -21,11 +21,10 @@ TPU/AD-native re-design decisions (vs the reference):
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Linkage, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -202,14 +201,13 @@ def make_problem(degrees_per_phase=(5, 5, 5, 7), segs_per_phase=(2, 2, 2, 3)) ->
 
     phases = []
     linkages = []
-    t_total = 961.0
     for i, pd in enumerate(ph_data):
         thrust_nd = pd["thrust"] / m0 * TU**2 / LU  # accel thrust/m in nd units when m in M0 units
         mdot_nd = pd["mdot"] / m0 * TU
         dyn = _make_dynamics(thrust_nd, mdot_nd, m0)
         nseg = segs_per_phase[i]
         deg = degrees_per_phase[i]
-        fr = tuple(np.linspace(-1, 1, nseg + 1).tolist())
+        fr = uniform_fractions(nseg)
         dg = (deg,) * nseg
         m_lo = 0.01
         m_hi = 1.05
@@ -225,7 +223,6 @@ def make_problem(degrees_per_phase=(5, 5, 5, 7), segs_per_phase=(2, 2, 2, 3)) ->
         event_bounds = None
         if i == 3:
             h_tj = jnp.asarray(h_t)
-            e_tj = jnp.asarray(e_t)
             p_j = jnp.asarray(p_hat)
             q_j = jnp.asarray(q_hat)
 

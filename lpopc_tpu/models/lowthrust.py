@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -30,7 +31,7 @@ TF = 3.32
 
 def make_problem(tf: float = TF, degrees=(10,) * 4, fractions=None) -> Problem:
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
 
     def dynamics(x, u, t, q):
         r, vr, vt = x

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
@@ -21,7 +22,7 @@ U_MAX = 3.0
 
 def make_problem(h0: float = 10.0, v0: float = -2.0, degrees=(6,) * 6, fractions=None) -> Problem:
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
     tf_guess = analytic_solution(h0, v0)[0]
 
     phase = Phase(
@@ -53,16 +54,17 @@ def analytic_solution(h0: float = 10.0, v0: float = -2.0):
     """
     g, um = G, U_MAX
     # Continuity at the switch: v(ts) = v0 - g ts = -(um - g) T2 with
-    # T2 = tf - ts, and the landing condition h(tf) = 0; root-find ts.
-    from scipy.optimize import brentq
-
-    def h_at_land(ts):
-        v_s = v0 - g * ts
-        h_s = h0 + v0 * ts - g * ts**2 / 2
-        T2 = -v_s / (um - g)
-        return h_s + v_s * T2 + (um - g) * T2**2 / 2
-
-    ts = brentq(h_at_land, 0.0, 100.0)
+    # T2 = tf - ts; the landing condition h(tf) = 0 reduces to
+    # h_s - v_s^2 / (2 (um - g)) = 0, a quadratic in ts.
+    A = -g / 2.0 - g * g / (2.0 * (um - g))
+    B = v0 + v0 * g / (um - g)
+    Cc = h0 - v0 * v0 / (2.0 * (um - g))
+    roots = np.roots([A, B, Cc])
+    candidates = [
+        float(r.real) for r in roots
+        if abs(r.imag) < 1e-12 and r.real >= 0.0 and (v0 - g * r.real) <= 0.0
+    ]
+    ts = min(candidates)
     v_s = v0 - g * ts
     T2 = -v_s / (um - g)
     tf = ts + T2

@@ -12,13 +12,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.lgr import uniform_fractions
 from ..core.problem import INF, Phase, Problem
 from ..core.solve import SolveOptions, solve as _solve
 
 
 def make_problem(bounded: bool = True, degrees=(6,) * 5, fractions=None) -> Problem:
     if fractions is None:
-        fractions = tuple(np.linspace(-1.0, 1.0, len(degrees) + 1).tolist())
+        fractions = uniform_fractions(len(degrees))
     x2_min = -0.3 if bounded else -INF
     phase = Phase(
         nx=2, nu=1,

@@ -313,8 +313,11 @@ def make_segment_ops(
     )
 
 
+def uniform_fractions(num_segments: int) -> tuple[float, ...]:
+    """K+1 equally spaced mesh points spanning [-1, 1]."""
+    return tuple(np.linspace(-1.0, 1.0, num_segments + 1).tolist())
+
+
 def uniform_mesh(num_segments: int, degree: int) -> tuple[tuple[int, ...], tuple[float, ...]]:
     """Convenience: uniform mesh with equal segment widths and degrees."""
-    degrees = (degree,) * num_segments
-    fractions = tuple(np.linspace(-1.0, 1.0, num_segments + 1).tolist())
-    return degrees, fractions
+    return (degree,) * num_segments, uniform_fractions(num_segments)

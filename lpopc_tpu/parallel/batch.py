@@ -66,7 +66,8 @@ class BatchSolver:
         pinned = (zu[:, sl] - zl[:, sl]) < 1e-12
         zl[:, sl] = np.where(pinned, zl[:, sl] + d, zl[:, sl])
         zu[:, sl] = np.where(pinned, zu[:, sl] + d, zu[:, sl])
-        z0[:, sl] = z0[:, sl] + d
+        # only shift the warm start where the bounds actually moved
+        z0[:, sl] = np.where(pinned, z0[:, sl] + d, z0[:, sl])
         return z0, zl, zu, cl, cu
 
 

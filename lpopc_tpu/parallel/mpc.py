@@ -55,16 +55,18 @@ class MPCController:
         x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
         B = x0.shape[0]
         pl = self.bs.nlp.layout.phases[0]
-        nominal_x0 = self.bs.scaled.z0[pl.var_offset : pl.var_offset + pl.nx] / \
-            self.bs.scaled.var_scale[pl.var_offset : pl.var_offset + pl.nx]
-        deltas = x0 - nominal_x0[None, :]
+        sl = slice(pl.var_offset, pl.var_offset + pl.nx)
+        vs = self.bs.scaled.var_scale[sl]
+        # the measurement replaces the PINNED initial-state bounds; the
+        # nominal is those bounds' value (not the guess, which need not match)
+        pinned = (self.bs.scaled.zu[sl] - self.bs.scaled.zl[sl]) < 1e-12
+        nominal_x0 = np.where(pinned, self.bs.scaled.zl[sl] / vs, 0.0)
+        deltas = np.where(pinned[None, :], x0 - nominal_x0[None, :], 0.0)
         z0, zl, zu, cl, cu = self.bs.perturb_x0(B, 0, deltas)
         if self._z_prev is not None and self._z_prev.shape[0] == B:
-            z0 = self._z_prev
-            # re-pin the measured initial state inside the warm start
-            sl = slice(pl.var_offset, pl.var_offset + pl.nx)
-            z0 = np.array(z0)
-            z0[:, sl] = zl[:, sl]
+            z0 = np.array(self._z_prev)
+            # re-pin only the measured (pinned) initial states in the warm start
+            z0[:, sl] = np.where(pinned[None, :], zl[:, sl], z0[:, sl])
         lam0 = (
             jnp.asarray(self._lam_prev)
             if self._lam_prev is not None and self._lam_prev.shape[0] == B
@@ -82,8 +84,8 @@ class MPCController:
         info = {
             "status": np.asarray(res.status),
             "iterations": np.asarray(res.iterations),
-            "objective": np.asarray(res.objective),
-            "kkt_error": np.asarray(res.kkt_error),
+            "objective": np.asarray(res.objective) / self.bs.scaled.obj_scale,
+            "kkt_error": np.asarray(res.kkt_error),  # scaled-problem residual
         }
         return (u0[0] if x0.shape[0] == 1 and self.batch == 1 else u0), info
 

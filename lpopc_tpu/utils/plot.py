@@ -10,9 +10,12 @@ import numpy as np
 def plot_solution(sol, path: str = None, show_costates: bool = True):
     """One figure per phase: states, controls, and (optionally) costates.
     Returns the matplotlib figure list; saves to ``path`` (png) if given."""
+    import sys
+
     import matplotlib
 
-    matplotlib.use("Agg")
+    if "matplotlib.pyplot" not in sys.modules:
+        matplotlib.use("Agg")  # headless default; don't clobber a chosen backend
     import matplotlib.pyplot as plt
 
     figs = []
@@ -33,6 +36,12 @@ def plot_solution(sol, path: str = None, show_costates: bool = True):
         fig.tight_layout()
         figs.append(fig)
         if path:
-            fig.savefig(path if len(sol.phases) == 1 else path.replace(
-                ".png", f"_phase{p + 1}.png"), dpi=120)
+            if len(sol.phases) == 1:
+                out = path
+            else:
+                import os
+
+                stem, ext = os.path.splitext(path)
+                out = f"{stem}_phase{p + 1}{ext or '.png'}"
+            fig.savefig(out, dpi=120)
     return figs

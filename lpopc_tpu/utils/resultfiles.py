@@ -23,7 +23,10 @@ def save_results(sol: Solution, directory: str, prefix: str = "") -> list:
 
     def dump(name, arr):
         path = os.path.join(directory, f"{prefix}{name}.dat")
-        np.savetxt(path, np.atleast_2d(arr), fmt="%.16e")
+        arr = np.asarray(arr)
+        if arr.ndim < 2:
+            arr = arr.reshape(-1, 1)  # one row per trajectory point
+        np.savetxt(path, arr, fmt="%.16e")
         paths.append(path)
 
     for p, ps in enumerate(sol.phases, start=1):

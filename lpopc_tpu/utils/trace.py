@@ -22,6 +22,15 @@ _trace_logger = logging.getLogger("lpopc_tpu.trace")
 _ENABLED = bool(os.environ.get("LPOPC_TPU_TRACE"))
 _DEPTH = 0
 
+if _ENABLED:
+    # env-var activation must actually emit: give the logger a level and a
+    # stderr handler (DEBUG records would otherwise be dropped by the root
+    # logger's WARNING default / lastResort handler)
+    _trace_logger.setLevel(logging.DEBUG)
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("%(message)s"))
+    _trace_logger.addHandler(_h)
+
 
 def enable_trace(path: str | None = None, level=logging.DEBUG):
     """Turn on call tracing; optionally also log to ``path`` (the analog of
@@ -29,10 +38,11 @@ def enable_trace(path: str | None = None, level=logging.DEBUG):
     global _ENABLED
     _ENABLED = True
     _trace_logger.setLevel(level)
-    if path:
-        handler = logging.FileHandler(path)
-        handler.setFormatter(logging.Formatter("%(message)s"))
-        _trace_logger.addHandler(handler)
+    handler = (
+        logging.FileHandler(path) if path else logging.StreamHandler()
+    )
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    _trace_logger.addHandler(handler)
 
 
 def disable_trace():
