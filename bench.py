@@ -20,11 +20,9 @@ import time
 
 import numpy as np
 
-# persistent compilation cache for the (slow) tunneled-TPU compiles
-os.environ.setdefault(
-    "LPOPC_TPU_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+# The persistent compilation cache (LPOPC_TPU_CACHE_DIR) is NOT auto-enabled
+# here: XLA AOT cache entries are machine-feature-pinned and a mismatched
+# entry could fail the benchmark run; a cold compile is ~70 s and always works.
 
 REFERENCE_SOLVES_PER_S = 2.0  # single-core C++ lpopc estimate (BASELINE.md)
 
