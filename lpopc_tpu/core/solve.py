@@ -60,6 +60,7 @@ class SolveOptions:
     curvature_ratio: float = 1.2
     mu_init: float = 1e-1
     verbose: bool = False
+    checkpoint_dir: str = None     # save per-grid state for resume (utils.checkpoint)
     ipm: IPMOptions = None
 
     def ipm_options(self) -> IPMOptions:
@@ -268,6 +269,10 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                 sol = cold_sol
         sol.grids = grid + 1
         sol.mesh_history = list(mesh_history)
+        if options.checkpoint_dir:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(sol, problem, options.checkpoint_dir, grid + 1)
         if sol.status != SOLVED and prev_sol is not None:
             # Keep the last converged grid rather than refining garbage
             # (the reference aborts with an exception here; we return the
