@@ -62,6 +62,19 @@ REGISTRY: tuple[OptionSpec, ...] = (
 _BY_REF = {s.reference_name: s for s in REGISTRY}
 _BY_NAME = {s.name: s for s in REGISTRY}
 
+# Reference options made obsolete by exact AD (the FD / analytic-derivative /
+# derivative-checker machinery, doc/LpopcDoc.tex:1203-1267). Accepted and
+# ignored with a log message so reference configurations port unchanged;
+# the capability they configured is strictly subsumed (jax.grad/jacfwd/
+# hessian are exact; core/check.py validates user functions).
+_OBSOLETE = {
+    "first-derive": "derivatives are exact AD (no FD/analytic switch needed)",
+    "finite-difference-tol": "no finite differencing is performed",
+    "analytic-derive-check": "use lpopc_tpu.core.check.check_problem",
+    "analytic-derive-check-tol": "use lpopc_tpu.core.check.check_problem",
+    "hessian-approximation": "the exact AD Lagrangian Hessian is always used",
+}
+
 
 class OptionError(ValueError):
     """Typed option failure (the reference's LpException counterpart)."""
@@ -93,8 +106,16 @@ def from_reference_strings(pairs: dict) -> SolveOptions:
     """Build SolveOptions from reference-style option names, e.g.
     ``{"Ipopt-tol": 1e-6, "mesh-refine-methods": "hp-Liu", "max-grid-num": 20}``.
     """
+    import logging
+
     kwargs = {}
     for key, value in pairs.items():
+        if key in _OBSOLETE or key.lower() in _OBSOLETE:
+            logging.getLogger("lpopc_tpu").info(
+                "option %r is obsolete here: %s", key,
+                _OBSOLETE.get(key, _OBSOLETE.get(key.lower())),
+            )
+            continue
         norm = key if key in _BY_REF else key.lower()
         spec = _BY_REF.get(norm) or _BY_REF.get(
             {"hp-liu": "mesh-refine-methods"}.get(norm, "")

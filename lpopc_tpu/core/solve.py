@@ -28,6 +28,7 @@ from .problem import Problem
 from .refine import estimate_errors, ph_refine_phase
 from .scaling import scale_nlp
 from .transcribe import transcribe
+from ..utils.trace import traced
 
 log = logging.getLogger("lpopc_tpu")
 
@@ -168,6 +169,7 @@ def _solver_cache_key(problem: Problem, nlp, options: SolveOptions):
     )
 
 
+@traced
 def solve_on_mesh(
     problem: Problem, options: SolveOptions, prev_sol: Solution = None
 ) -> Solution:
@@ -235,6 +237,7 @@ def solve_on_mesh(
     )
 
 
+@traced
 def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     """Full hp-adaptive solve (the reference's outer refinement loop)."""
     from .options import validate
