@@ -1,0 +1,183 @@
+"""Block-structured factorization of the condensed KKT matrix.
+
+The condensed KKT matrix ``K = H + Σ + δI + Jᵀ D J`` of the transcribed OCP
+(see :mod:`.ipm`) is not dense: with the per-phase variable layout
+``[X, U, t0, tf, q]`` (``transcribe.PhaseLayout``) every coupling is local —
+
+* Lagrangian-Hessian node blocks touch ``(x_k, u_k, t0, tf, q)`` only
+  (:mod:`.structured`),
+* defect rows touch one segment's state support points + that node's control
+  + ``(t0, tf, q)`` (the composite ``D`` is block bi-diagonal,
+  ``ops/lgr.py``; reference sparsity: ``LpNLPWrapper.cpp:1106-1548``),
+* path rows are node-local; event/linkage/Mayer blocks touch only endpoint
+  states and ``(t0, tf, q)``.
+
+Permuting to [segment-interior variables | separators] therefore makes the
+interior **exactly block-diagonal**: one dense block per segment holding the
+segment's interior state points (all but the shared boundary points) and its
+controls, with a small dense border of separators (segment-boundary states,
+``t0``, ``tf``, ``q`` of every phase). That is a depth-1 nested-dissection
+ordering of the same banded-block sparsity MUMPS exploits inside IPOPT for
+the reference (``LpNLPSolver.cpp``) — redesigned for the TPU: all segment
+blocks factorize as ONE batched Cholesky (MXU-friendly dense b×b tiles), the
+border couples them through a single small Schur complement, and everything
+is shape-static, jit/vmap-able, and free of gather-heavy sparse formats.
+
+Cost per factorization drops from ``O(n³)`` (dense Cholesky, sequential on
+TPU) to ``O(S·b³)`` batched + one ``O(n_border³)`` solve; this is also the
+seam along which a single giant instance's segments can later be sharded
+across chips (ICI neighbor exchange of the border variables only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transcribe import Layout
+
+
+@dataclass(frozen=True)
+class BlockKKTSpec:
+    """Static permutation data for the block factorization.
+
+    ``interior_idx[s, j]`` is the global variable index of slot ``j`` in
+    segment block ``s`` (0-padded where ``interior_mask`` is False);
+    ``border_idx`` lists the separator variables. Together they cover every
+    variable exactly once.
+    """
+
+    interior_idx: np.ndarray    # (S, bmax) int32
+    interior_mask: np.ndarray   # (S, bmax) bool
+    border_idx: np.ndarray      # (nb,) int32
+    n: int
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.interior_idx.shape[0])
+
+    @property
+    def block_size(self) -> int:
+        return int(self.interior_idx.shape[1])
+
+    @property
+    def border_size(self) -> int:
+        return int(self.border_idx.shape[0])
+
+
+def make_block_spec(layout: Layout, ops) -> BlockKKTSpec | None:
+    """Build the interior/border permutation from the phase layouts.
+
+    Returns None when there is nothing to condense (no interior variables:
+    e.g. every segment has degree 1 and no controls).
+    """
+    blocks: list[np.ndarray] = []
+    border: list[np.ndarray] = []
+    for pl, op in zip(layout.phases, ops):
+        nx, nu = pl.nx, pl.nu
+        x_base = pl.var_offset
+        u_base = pl.var_offset + pl.npts * nx
+        # separator state points: the segment boundaries (first point of each
+        # segment) plus the final point N — shared between adjacent segment
+        # supports and touched by events/linkages/Mayer.
+        sep_pts = list(op.seg_starts) + [pl.N]
+        for k, deg in enumerate(op.degrees):
+            start = op.seg_starts[k]
+            inner_pts = np.arange(start + 1, start + deg)  # deg-1 interior points
+            cols = []
+            if nx:
+                cols.append((x_base + inner_pts[:, None] * nx + np.arange(nx)).ravel())
+            if nu:
+                u_nodes = np.arange(start, start + deg)
+                cols.append((u_base + u_nodes[:, None] * nu + np.arange(nu)).ravel())
+            blocks.append(
+                np.concatenate(cols).astype(np.int32) if cols
+                else np.zeros((0,), np.int32)
+            )
+        if nx:
+            border.append(
+                (x_base + np.asarray(sep_pts)[:, None] * nx + np.arange(nx))
+                .ravel().astype(np.int32)
+            )
+        border.append(np.array([pl.t0_index, pl.tf_index], np.int32))
+        if pl.nq:
+            border.append(
+                (pl.q_slice.start + np.arange(pl.nq)).astype(np.int32)
+            )
+    bmax = max((b.shape[0] for b in blocks), default=0)
+    if bmax == 0:
+        return None
+    S = len(blocks)
+    interior_idx = np.zeros((S, bmax), np.int32)
+    interior_mask = np.zeros((S, bmax), bool)
+    for s, b in enumerate(blocks):
+        interior_idx[s, : b.shape[0]] = b
+        interior_mask[s, : b.shape[0]] = True
+    border_idx = np.concatenate(border).astype(np.int32)
+    # sanity: exact cover of all variables
+    all_idx = np.concatenate([interior_idx[interior_mask].ravel(), border_idx])
+    assert all_idx.shape[0] == layout.nvar and np.array_equal(
+        np.sort(all_idx), np.arange(layout.nvar)
+    ), "block spec must cover every variable exactly once"
+    return BlockKKTSpec(
+        interior_idx=interior_idx, interior_mask=interior_mask,
+        border_idx=border_idx, n=layout.nvar,
+    )
+
+
+class BlockFactor(NamedTuple):
+    L: jnp.ndarray       # (S, b, b) block Cholesky factors
+    W: jnp.ndarray       # (S, b, nb) A_s^{-1} B_sᵀ
+    Ls: jnp.ndarray      # (nb, nb) border Schur Cholesky factor
+    B: jnp.ndarray       # (S, nb, b) border-interior coupling
+
+
+def make_block_factorizer(spec: BlockKKTSpec):
+    """Return ``(factorize, solve, factor_ok)`` closures over the spec.
+
+    ``factorize(K) -> BlockFactor`` (K dense (n, n));
+    ``solve(F, r) -> K⁻¹ r``; ``factor_ok(F) -> bool scalar`` (all Cholesky
+    diagonals finite and positive — same contract as the dense path).
+    """
+    ii = jnp.asarray(spec.interior_idx)
+    mask = jnp.asarray(spec.interior_mask)
+    bi = jnp.asarray(spec.border_idx)
+    pair_mask = mask[:, :, None] & mask[:, None, :]
+    eye = jnp.eye(spec.block_size)
+
+    def factorize(K):
+        A = K[ii[:, :, None], ii[:, None, :]]
+        A = jnp.where(pair_mask, A, eye[None])          # pad slots -> identity
+        B = K[bi[None, :, None], ii[:, None, :]]        # (S, nb, b)
+        B = jnp.where(mask[:, None, :], B, 0.0)
+        C = K[bi[:, None], bi[None, :]]
+        L = jnp.linalg.cholesky(A)
+        W = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.swapaxes(B, 1, 2)
+        )                                               # (S, b, nb)
+        Schur = C - jnp.einsum("snb,sbm->nm", B, W)
+        Ls = jnp.linalg.cholesky(Schur)
+        return BlockFactor(L=L, W=W, Ls=Ls, B=B)
+
+    def solve(F, r):
+        r_int = jnp.where(mask, r[ii], 0.0)             # (S, b)
+        y = jax.scipy.linalg.cho_solve((F.L, True), r_int[..., None])[..., 0]
+        rhs_b = r[bi] - jnp.einsum("snb,sb->n", F.B, y)
+        xb = jax.scipy.linalg.cho_solve((F.Ls, True), rhs_b)
+        xi = jnp.where(mask, y - jnp.einsum("sbn,n->sb", F.W, xb), 0.0)
+        out = jnp.zeros_like(r).at[bi].set(xb)
+        return out.at[ii.ravel()].add(xi.ravel())       # pad adds 0 at index 0
+
+    def factor_ok(F):
+        dL = jnp.diagonal(F.L, axis1=-2, axis2=-1)
+        dS = jnp.diagonal(F.Ls)
+        return (
+            jnp.all(jnp.isfinite(dL)) & jnp.all(dL > 0.0)
+            & jnp.all(jnp.isfinite(dS)) & jnp.all(dS > 0.0)
+        )
+
+    return factorize, solve, factor_ok

@@ -110,6 +110,8 @@ def build_solver(
     options: IPMOptions = IPMOptions(),
     jac_fn: Callable | None = None,
     hess_fn: Callable | None = None,
+    kkt_factorizer: tuple | None = None,
+    takes_aux: bool = False,
 ) -> Callable:
     """Return ``solve(z0, zl, zu, cl, cu) -> IPMResult`` (pure; jit/vmap-able).
 
@@ -117,26 +119,60 @@ def build_solver(
     conditions, terminal sets, pinned parameters) is just a ``vmap`` over
     them. ``jac_fn(z) -> (m, n)`` and ``hess_fn(z, lam) -> (n, n)`` override
     the global-AD derivatives with structure-exploiting assembly
-    (see :mod:`.structured`).
+    (see :mod:`.structured`). ``kkt_factorizer`` is an optional
+    ``(factorize, solve, factor_ok)`` triple replacing dense Cholesky on the
+    condensed K — e.g. the segment-block + border-Schur factorization of
+    :mod:`.block_kkt`.
+
+    With ``takes_aux=True`` the problem callables take a trailing pytree
+    argument — ``objective(z, aux)``, ``constraints(z, aux)``,
+    ``jac_fn(z, aux)``, ``hess_fn(z, lam, aux)`` — and ``solve`` gains a
+    trailing ``aux`` input. This is what lets ONE compiled solver serve every
+    mesh/scaling with the same shape signature (runtime-mesh hp refinement,
+    ``core/solve.py``): aux carries the mesh fractions and scale vectors as
+    traced arrays instead of baked constants.
     """
     opt = options
-    grad_f = jax.grad(objective)
+    obj_base, con_base = objective, constraints
+    jac_base, hess_base = jac_fn, hess_fn
 
-    def lagrangian(z, lam):
-        return objective(z) + jnp.dot(lam, constraints(z))
-
-    hess_l = hess_fn if hess_fn is not None else jax.hessian(lagrangian, argnums=0)
-    jac_c = jac_fn if jac_fn is not None else jax.jacfwd(constraints)
-
-    if opt.lane_kkt:
+    if kkt_factorizer is not None:
+        _factorize, _fsolve, _factor_ok = kkt_factorizer
+    elif opt.lane_kkt:
         from ..ops.batched_linalg import smart_cholesky_and_solve
 
         _chol, _cho_solve = smart_cholesky_and_solve()
+        _factorize = _chol
+        _fsolve = _cho_solve
+        _factor_ok = lambda L: (
+            jnp.all(jnp.isfinite(jnp.diagonal(L))) & (jnp.min(jnp.diagonal(L)) > 0.0)
+        )
     else:
-        _chol = jnp.linalg.cholesky
-        _cho_solve = lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
+        _factorize = jnp.linalg.cholesky
+        _fsolve = lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
+        _factor_ok = lambda L: (
+            jnp.all(jnp.isfinite(jnp.diagonal(L))) & (jnp.min(jnp.diagonal(L)) > 0.0)
+        )
 
-    def solve(z0, zl, zu, cl, cu, lam0=None):
+    def solve(z0, zl, zu, cl, cu, lam0=None, aux=None):
+        if takes_aux:
+            objective = lambda z: obj_base(z, aux)
+            constraints = lambda z: con_base(z, aux)
+            jac_fn = None if jac_base is None else (lambda z: jac_base(z, aux))
+            hess_fn = (
+                None if hess_base is None else (lambda z, lam: hess_base(z, lam, aux))
+            )
+        else:
+            objective, constraints = obj_base, con_base
+            jac_fn, hess_fn = jac_base, hess_base
+        grad_f = jax.grad(objective)
+
+        def lagrangian(z, lam):
+            return objective(z) + jnp.dot(lam, constraints(z))
+
+        hess_l = hess_fn if hess_fn is not None else jax.hessian(lagrangian, argnums=0)
+        jac_c = jac_fn if jac_fn is not None else jax.jacfwd(constraints)
+
         dtype = z0.dtype
         wl = jnp.concatenate([zl, cl]).astype(dtype)
         wu = jnp.concatenate([zu, cu]).astype(dtype)
@@ -260,15 +296,15 @@ def build_solver(
                 d = sig_s / (1.0 + delta_c * sig_s)
                 wdiag = sigma_z + delta_w
                 K = H + jnp.diag(wdiag) + (J.T * d) @ J
-                L = _chol(K)
+                L = _factorize(K)
 
                 def csolve(ra, rb, rc):
                     """Solve the delta_c-regularized Newton system
                     [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
                     W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
                     rhs = ra + J.T @ (d * (rc + rb / sig_s))
-                    dz_ = _cho_solve(L, rhs)
-                    dz_ = dz_ + _cho_solve(L, rhs - K @ dz_)
+                    dz_ = _fsolve(L, rhs)
+                    dz_ = dz_ + _fsolve(L, rhs - K @ dz_)
                     dlam_ = d * (J @ dz_ - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
@@ -283,17 +319,16 @@ def build_solver(
                 # divergence). A growing refinement residual flags indefinite
                 # K and triggers the δw regularization search.
                 rhs0 = -a - J.T @ (d * (r_p + b / sig_s))
-                dz0 = _cho_solve(L, rhs0)
+                dz0 = _fsolve(L, rhs0)
                 r0 = jnp.max(jnp.abs(rhs0 - K @ dz0))
-                dz1 = dz0 + _cho_solve(L, rhs0 - K @ dz0)
-                dz1 = dz1 + _cho_solve(L, rhs0 - K @ dz1)
+                dz1 = dz0 + _fsolve(L, rhs0 - K @ dz0)
+                dz1 = dz1 + _fsolve(L, rhs0 - K @ dz1)
                 r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
                 # absolute floor: once the residual is at rounding level
                 # relative to the rhs, "growth" is noise, not indefiniteness
                 floor = 1e-9 * (1.0 + jnp.max(jnp.abs(rhs0)))
                 ok = (
-                    jnp.all(jnp.isfinite(jnp.diagonal(L)))
-                    & (jnp.min(jnp.diagonal(L)) > 0.0)
+                    _factor_ok(L)
                     & jnp.all(jnp.isfinite(dz1))
                     & ((r_end <= 1.2 * r0 + 1e-300) | (r_end <= floor))
                 )

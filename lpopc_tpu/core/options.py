@@ -56,6 +56,14 @@ REGISTRY: tuple[OptionSpec, ...] = (
                doc="hp-Liu smoothness threshold (reference default 1.2)"),
     OptionSpec("mu_init", "mu-init", float, 1e-1, 0.0, 10.0,
                doc="initial barrier parameter"),
+    OptionSpec("block_kkt", "block-kkt", str, "auto",
+               choices=("auto", "on", "off"),
+               doc="segment-block + border-Schur KKT factorization (core/block_kkt.py)"),
+    OptionSpec("block_kkt_threshold", "block-kkt-threshold", int, 700, 1, 10**9,
+               doc="NLP size above which block-kkt=auto engages"),
+    OptionSpec("mesh_bucketing", "mesh-bucketing", str, "off",
+               choices=("on", "off"),
+               doc="shape-bucketed recompile-free hp refinement (runtime-mesh solver)"),
     OptionSpec("verbose", "print-level", bool, False, doc="per-grid logging"),
 )
 

@@ -86,6 +86,43 @@ def estimate_errors(problem: Problem, sol: Solution) -> list:
     ]
 
 
+#: degree buckets for shape-bucketed meshes (recompile-free hp refinement).
+#: Deliberately coarse: every distinct (bucket degree, segment count)
+#: signature costs one XLA compile (60-120 s on a tunneled TPU), while extra
+#: collocation points cost only microseconds per IPM iteration — so ~2x
+#: degree jumps minimize total wall-clock even though they over-resolve.
+DEGREE_BUCKETS = (4, 8, 16, 24, 32, 48, 64)
+
+
+def bucket_mesh(
+    degrees: tuple, fractions: tuple, n_max: int = 64
+) -> tuple[tuple, tuple]:
+    """Round a refined mesh UP to a bucketed shape signature.
+
+    Pads every segment's degree to one uniform bucket value (≥ the max
+    requested degree) and the segment count to the next power of two (by
+    bisecting the widest intervals). Both transformations only ADD
+    collocation points, so accuracy never drops; in exchange the mesh's
+    static shape signature takes one of O(log²) values, so the jitted
+    runtime-mesh solver (fractions are traced inputs) is compiled a handful
+    of times per problem instead of once per grid. The reference pays the
+    analogous cost as a full NLP re-setup per grid (``LpLpopcAlgorithm.cpp:
+    36-45``); on TPU the equivalent cost is XLA recompilation — this is the
+    mitigation SURVEY.md §7 calls "shape bucketing/padding".
+    """
+    dmax = max(degrees)
+    deg = next((b for b in DEGREE_BUCKETS if b >= dmax and b <= max(n_max, dmax)),
+               dmax)
+    S = len(degrees)
+    S_b = 1 << (S - 1).bit_length() if S > 1 else 1
+    fr = list(fractions)
+    while len(fr) - 1 < S_b:
+        widths = np.diff(fr)
+        k = int(np.argmax(widths))
+        fr.insert(k + 1, (fr[k] + fr[k + 1]) / 2.0)
+    return (deg,) * (len(fr) - 1), tuple(fr)
+
+
 def ph_refine_phase(
     degrees: tuple, fractions: tuple, errs: np.ndarray,
     tol: float, n_min: int, n_max: int,

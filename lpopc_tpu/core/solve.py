@@ -53,6 +53,20 @@ class SolveOptions:
     auto_scale: bool = True
     variable_scaling: bool = False
     structured_derivatives: bool = True
+    # Condensed-KKT factorization: "auto" switches from dense Cholesky to the
+    # segment-block + border-Schur factorization (core/block_kkt.py) once the
+    # NLP is big enough for the O(n^3) dense factor to dominate; "on"/"off"
+    # force it. The auto threshold is in NLP variables.
+    block_kkt: str = "auto"            # "auto" | "on" | "off"
+    block_kkt_threshold: int = 700
+    # Shape-bucketed recompile-free hp refinement: meshes are rounded up to a
+    # uniform per-phase degree bucket and power-of-two segment count
+    # (refine.bucket_mesh), and the solver is compiled with the mesh
+    # FRACTIONS as runtime inputs — so the whole refinement loop reuses a
+    # handful of compiled solvers instead of recompiling per grid (a
+    # 60-120 s XLA compile per mesh otherwise dominates single-problem
+    # wall-clock on TPU).
+    mesh_bucketing: str = "off"        # "on" | "off"
     mesh_method: str = "ph"            # "ph" | "hp-liu" | "none"
     max_grid_num: int = 10
     desired_relative_error: float = 1e-6
@@ -166,6 +180,153 @@ def _solver_cache_key(problem: Problem, nlp, options: SolveOptions):
         fn_ids, _mesh_signature(problem), bounds_sig, options.ipm_options(),
         options.auto_scale, options.variable_scaling,
         options.structured_derivatives,
+        options.block_kkt, options.block_kkt_threshold,
+    )
+
+
+def _kkt_factorizer(nlp, options: SolveOptions):
+    """Build the block-KKT factorizer triple when enabled/beneficial."""
+    if options.block_kkt == "off":
+        return None
+    if options.block_kkt == "auto" and nlp.n < options.block_kkt_threshold:
+        return None
+    from .block_kkt import make_block_factorizer, make_block_spec
+
+    spec = make_block_spec(nlp.layout, nlp.ops)
+    if spec is None:
+        return None
+    return make_block_factorizer(spec)
+
+
+_RT_SOLVER_CACHE: dict = {}
+
+
+def _rt_solver_cache_key(problem: Problem, options: SolveOptions):
+    """Cache key for the runtime-mesh solver: the DEGREE signature only —
+    fractions, bounds, guesses and scales are all runtime inputs."""
+    fn_ids = tuple(
+        (id(ph.dynamics), id(ph.path), id(ph.lagrange), id(ph.mayer), id(ph.event))
+        for ph in problem.phases
+    ) + tuple(id(l.fn) for l in problem.linkages)
+    dims = tuple(
+        (ph.nx, ph.nu, ph.nq, ph.npath, ph.nevent, tuple(ph.mesh_degrees))
+        for ph in problem.phases
+    )
+    return (
+        fn_ids, dims, tuple((l.left, l.right, l.nlink) for l in problem.linkages),
+        options.ipm_options(), options.auto_scale, options.variable_scaling,
+        options.structured_derivatives, options.block_kkt,
+        options.block_kkt_threshold,
+    )
+
+
+def _build_rt_solver(problem: Problem, nlp, options: SolveOptions):
+    """Compile an aux-taking IPM solver: mesh fractions + scale vectors are
+    traced inputs, so one compilation serves every mesh with this degree
+    signature (the recompile-free hp path)."""
+    from ..ops.lgr import materialize_phase_ops
+    from .transcribe import make_constraints_mesh, make_objective_mesh
+
+    layout = nlp.layout
+    degree_sigs = tuple(tuple(ph.mesh_degrees) for ph in problem.phases)
+    obj_m = make_objective_mesh(problem, layout)
+    con_m = make_constraints_mesh(problem, layout)
+
+    def _mesh(aux):
+        return tuple(
+            materialize_phase_ops(deg, fr)
+            for deg, fr in zip(degree_sigs, aux["fracs"])
+        )
+
+    # runtime-scaled wrappers (same algebra as scaling.scale_nlp /
+    # ScaledNLP.wrap_structured, with the scale vectors coming from aux)
+    def obj_aux(z, aux):
+        return aux["sf"] * obj_m(z / aux["v"], _mesh(aux))
+
+    def con_aux(z, aux):
+        return aux["sc"] * con_m(z / aux["v"], _mesh(aux))
+
+    jac_aux = hess_aux = None
+    if options.structured_derivatives:
+        from .structured import (
+            make_structured_hessian_mesh,
+            make_structured_jacobian_mesh,
+        )
+
+        jac_m = make_structured_jacobian_mesh(problem, layout)
+        hess_m = make_structured_hessian_mesh(problem, layout)
+
+        def jac_aux(z, aux):
+            v = aux["v"]
+            return (aux["sc"][:, None] * jac_m(z / v, _mesh(aux))) / v[None, :]
+
+        def hess_aux(z, lam, aux):
+            v = aux["v"]
+            H = hess_m(z / v, aux["sc"] * lam, _mesh(aux), aux["sf"])
+            return H / (v[:, None] * v[None, :])
+
+    return jax.jit(build_solver(
+        obj_aux, con_aux, nlp.n, nlp.m, options.ipm_options(),
+        jac_fn=jac_aux, hess_fn=hess_aux,
+        kkt_factorizer=_kkt_factorizer(nlp, options),
+        takes_aux=True,
+    ))
+
+
+def _solve_on_mesh_rt(
+    problem: Problem, options: SolveOptions, prev_sol: Solution = None
+) -> Solution:
+    """Runtime-mesh counterpart of :func:`solve_on_mesh`."""
+    nlp = transcribe(problem)
+    scaled = scale_nlp(
+        nlp.objective, nlp.constraints,
+        nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
+        enabled=options.auto_scale,
+        variable_scaling=options.variable_scaling,
+    )
+    key = _rt_solver_cache_key(problem, options)
+    entry = _RT_SOLVER_CACHE.get(key)
+    if entry is None:
+        entry = (_build_rt_solver(problem, nlp, options), problem)
+        _RT_SOLVER_CACHE[key] = entry
+        while len(_RT_SOLVER_CACHE) > _SOLVER_CACHE_CAP:
+            _RT_SOLVER_CACHE.pop(next(iter(_RT_SOLVER_CACHE)))
+    jitted_solver, _ = entry
+    if prev_sol is not None:
+        lam_raw = _warm_duals(prev_sol, problem, nlp)
+        lam0 = jnp.asarray(lam_raw * scaled.obj_scale / scaled.con_scale)
+    else:
+        lam0 = jnp.zeros((nlp.m,))
+    aux = {
+        "fracs": tuple(
+            jnp.asarray(np.asarray(ph.mesh_fractions)) for ph in problem.phases
+        ),
+        "sf": jnp.asarray(scaled.obj_scale),
+        "sc": jnp.asarray(scaled.con_scale),
+        "v": jnp.asarray(scaled.var_scale),
+    }
+    t_start = time.perf_counter()
+    res = jitted_solver(
+        jnp.asarray(nlp.z0 * scaled.var_scale),
+        jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
+        jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
+        lam0, aux,
+    )
+    res = jax.tree_util.tree_map(np.asarray, res)
+    wall = time.perf_counter() - t_start
+    z = scaled.unscale_z(res.z)
+    lam = scaled.unscale_lam(res.lam)
+    obj = scaled.unscale_objective(res.objective)
+    if options.verbose:
+        log.info(
+            "NLP solve (rt-mesh): n=%d m=%d status=%d iters=%d obj=%.8g "
+            "kkt=%.2e wall=%.2fs",
+            nlp.n, nlp.m, int(res.status), int(res.iterations), obj,
+            float(res.kkt_error), wall,
+        )
+    return extract_solution(
+        problem, nlp.layout, nlp.ops, z, lam, obj,
+        int(res.status), float(res.kkt_error), int(res.iterations),
     )
 
 
@@ -181,6 +342,8 @@ def solve_on_mesh(
     cache entry keeps strong references to the user callables so ``id``-based
     keys cannot be recycled.
     """
+    if options.mesh_bucketing == "on":
+        return _solve_on_mesh_rt(problem, options, prev_sol=prev_sol)
     nlp = transcribe(problem)
     key = _solver_cache_key(problem, nlp, options)
     entry = _SOLVER_CACHE.get(key)
@@ -202,6 +365,7 @@ def solve_on_mesh(
         solver = jax.jit(build_solver(
             scaled.objective, scaled.constraints, nlp.n, nlp.m,
             options.ipm_options(), jac_fn=jac_fn, hess_fn=hess_fn,
+            kkt_factorizer=_kkt_factorizer(nlp, options),
         ))
         entry = (scaled, solver, problem)
         _SOLVER_CACHE[key] = entry
@@ -245,6 +409,14 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     options = validate(options)
     if options.verbose:
         log.info("%s", describe_problem(problem, options))
+    if options.mesh_bucketing == "on":
+        from .refine import bucket_mesh
+
+        problem = problem.with_meshes([
+            bucket_mesh(tuple(ph.mesh_degrees), tuple(ph.mesh_fractions),
+                        options.n_max)
+            for ph in problem.phases
+        ])
     mesh_history = [_mesh_signature(problem)]
     error_history = []
     sol = None
@@ -329,6 +501,12 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                     options.desired_relative_error, options.n_min, options.n_max,
                 )
                 new_meshes.append((d, f))
+        if options.mesh_bucketing == "on":
+            from .refine import bucket_mesh
+
+            new_meshes = [
+                bucket_mesh(d, f, options.n_max) for d, f in new_meshes
+            ]
         problem = warm_start_problem(problem, sol)
         problem = problem.with_meshes(new_meshes)
         mesh_history.append(_mesh_signature(problem))

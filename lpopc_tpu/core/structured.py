@@ -61,20 +61,16 @@ def _endpoint_indices(pl) -> np.ndarray:
     ]).astype(np.int32)
 
 
-def make_structured_jacobian(
-    problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
-) -> Callable:
-    """Return ``jac(z) -> (m, n)`` assembled from per-node blocks."""
+def make_structured_jacobian_mesh(problem: Problem, layout: Layout) -> Callable:
+    """Return ``jac(z, mesh) -> (m, n)`` assembled from per-node blocks;
+    ``mesh`` is the per-phase ``(tau, tau_state, w, D)`` tuple (constants or
+    traced runtime-mesh arrays, see ``transcribe.make_objective_mesh``)."""
     n, m = layout.nvar, layout.ncon
 
-    # constant skeleton: kron(D, I_nx) per phase + linear rows
+    # constant skeleton: the linear (duration / time-link) rows. The
+    # kron(D, I_nx) defect skeleton is mesh-dependent and scattered at trace
+    # time below.
     skeleton = np.zeros((m, n))
-    for ph, pl, op in zip(problem.phases, layout.phases, ops):
-        if pl.nx:
-            skeleton[
-                pl.con_offset : pl.con_offset + pl.N * pl.nx,
-                pl.var_offset : pl.var_offset + pl.npts * pl.nx,
-            ] = np.kron(np.asarray(op.D), np.eye(pl.nx))
     row = layout.linear_offset
     for pl in layout.phases:
         skeleton[row, pl.tf_index] = 1.0
@@ -89,15 +85,20 @@ def make_structured_jacobian(
     node_idx = [jnp.asarray(_node_indices(pl)) for pl in layout.phases]
     end_idx = [jnp.asarray(_endpoint_indices(pl)) for pl in layout.phases]
 
-    def jac(z):
+    def jac(z, mesh):
         J = skeleton_j.astype(z.dtype)
         ends = []
         starts = []
-        for ph, pl, op, nidx, eidx in zip(
-            problem.phases, layout.phases, ops, node_idx, end_idx
+        for ph, pl, (tau, _, _, D), nidx, eidx in zip(
+            problem.phases, layout.phases, mesh, node_idx, end_idx
         ):
             X, U, t0, tf, q = unpack_phase(pl, z)
-            tau = jnp.asarray(op.tau, z.dtype)
+            tau = jnp.asarray(tau, z.dtype)
+            if pl.nx:
+                J = J.at[
+                    pl.con_offset : pl.con_offset + pl.N * pl.nx,
+                    pl.var_offset : pl.var_offset + pl.npts * pl.nx,
+                ].add(jnp.kron(jnp.asarray(D, z.dtype), jnp.eye(pl.nx, dtype=z.dtype)))
             half = (tf - t0) / 2.0
 
             def node_dyn(xi, k):
@@ -205,25 +206,34 @@ def make_structured_jacobian(
     return jac
 
 
-def make_structured_hessian(
+def make_structured_jacobian(
     problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
 ) -> Callable:
-    """Return ``hess(z, lam, sigma=1.0) -> (n, n)``: the Lagrangian Hessian
-    ``∇²[σ f(z) + λᵀ c(z)]`` assembled from per-node blocks."""
+    """``jac(z) -> (m, n)`` on a fixed mesh (operators baked as constants)."""
+    from .transcribe import const_mesh
+
+    jac_m = make_structured_jacobian_mesh(problem, layout)
+    mesh = const_mesh(ops)
+    return lambda z: jac_m(z, mesh)
+
+
+def make_structured_hessian_mesh(problem: Problem, layout: Layout) -> Callable:
+    """Return ``hess(z, lam, mesh, sigma=1.0) -> (n, n)``: the Lagrangian
+    Hessian ``∇²[σ f(z) + λᵀ c(z)]`` assembled from per-node blocks."""
     n = layout.nvar
     node_idx = [jnp.asarray(_node_indices(pl)) for pl in layout.phases]
     end_idx = [jnp.asarray(_endpoint_indices(pl)) for pl in layout.phases]
 
-    def hess(z, lam, sigma=1.0):
+    def hess(z, lam, mesh, sigma=1.0):
         H = jnp.zeros((n, n), dtype=z.dtype)
         ends = []
         starts = []
-        for ph, pl, op, nidx, eidx in zip(
-            problem.phases, layout.phases, ops, node_idx, end_idx
+        for ph, pl, (tau, _, w, _), nidx, eidx in zip(
+            problem.phases, layout.phases, mesh, node_idx, end_idx
         ):
             X, U, t0, tf, q = unpack_phase(pl, z)
-            tau = jnp.asarray(op.tau, z.dtype)
-            w = jnp.asarray(op.w, z.dtype)
+            tau = jnp.asarray(tau, z.dtype)
+            w = jnp.asarray(w, z.dtype)
             lam_def = lam[pl.con_offset : pl.con_offset + pl.N * pl.nx].reshape(
                 pl.N, pl.nx
             )
@@ -329,3 +339,14 @@ def make_structured_hessian(
         return H
 
     return hess
+
+
+def make_structured_hessian(
+    problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
+) -> Callable:
+    """``hess(z, lam, sigma=1.0) -> (n, n)`` on a fixed mesh."""
+    from .transcribe import const_mesh
+
+    hess_m = make_structured_hessian_mesh(problem, layout)
+    mesh = const_mesh(ops)
+    return lambda z, lam, sigma=1.0: hess_m(z, lam, mesh, sigma)

@@ -160,43 +160,55 @@ def phase_times(ops: SegmentOps, t0, tf):
     return (tau + 1.0) * half + t0, (tau_s + 1.0) * half + t0
 
 
-def make_objective(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) -> Callable:
-    """Pure scalar objective: Σ_p Mayer + LGR quadrature of Lagrange.
+def const_mesh(ops: Sequence[SegmentOps]) -> tuple:
+    """Per-phase (tau, tau_state, w, D) tuples as jax constants."""
+    return tuple(
+        (jnp.asarray(op.tau), jnp.asarray(op.tau_state),
+         jnp.asarray(op.w), jnp.asarray(op.D))
+        for op in ops
+    )
+
+
+def make_objective_mesh(problem: Problem, layout: Layout) -> Callable:
+    """Mesh-parametric objective ``obj(z, mesh)``; ``mesh`` is a tuple of
+    per-phase ``(tau, tau_state, w, D)`` arrays (constants via
+    :func:`const_mesh`, or traced runtime arrays via
+    ``ops.lgr.materialize_phase_ops`` — the recompile-free hp path).
 
     Reference: ``LpNLPWrapper::GetObjFun`` (``LpNLPWrapper.cpp:863-939``) —
     the quadrature ``wᵀ L (tf-t0)/2`` done as one dot product per phase.
     """
 
-    def objective(z):
+    def objective(z, mesh):
         total = jnp.zeros((), dtype=z.dtype)
-        for ph, pl, op in zip(problem.phases, layout.phases, ops):
+        for ph, pl, (tau, _, w, _) in zip(problem.phases, layout.phases, mesh):
             X, U, t0, tf, q = unpack_phase(pl, z)
             if ph.mayer is not None:
                 total = total + jnp.reshape(ph.mayer(X[0], t0, X[-1], tf, q), ())
             if ph.lagrange is not None:
-                t_c, _ = phase_times(op, t0, tf)
+                t_c = (jnp.asarray(tau, z.dtype) + 1.0) * (tf - t0) / 2.0 + t0
                 L = jax.vmap(
                     lambda x, u, t, q_: jnp.reshape(ph.lagrange(x, u, t, q_), ()),
                     in_axes=(0, 0, 0, None),
                 )(X[:-1], U, t_c, q)
-                w = jnp.asarray(op.w, dtype=z.dtype)
-                total = total + (tf - t0) / 2.0 * jnp.dot(w, L)
+                total = total + (tf - t0) / 2.0 * jnp.dot(jnp.asarray(w, z.dtype), L)
         return total
 
     return objective
 
 
-def make_constraints(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) -> Callable:
-    """Pure constraint vector (defects, paths, events, links, linear rows)."""
+def make_constraints_mesh(problem: Problem, layout: Layout) -> Callable:
+    """Mesh-parametric constraint vector ``con(z, mesh)`` (defects, paths,
+    events, links, linear rows); see :func:`make_objective_mesh`."""
 
-    def constraints(z):
+    def constraints(z, mesh):
         rows = []
         ends = []  # (xf, tf, q) per phase for linkage rows
         starts = []
-        for ph, pl, op in zip(problem.phases, layout.phases, ops):
+        for ph, pl, (tau, _, _, D) in zip(problem.phases, layout.phases, mesh):
             X, U, t0, tf, q = unpack_phase(pl, z)
-            t_c, _ = phase_times(op, t0, tf)
-            D = jnp.asarray(op.D, dtype=z.dtype)
+            t_c = (jnp.asarray(tau, z.dtype) + 1.0) * (tf - t0) / 2.0 + t0
+            D = jnp.asarray(D, dtype=z.dtype)
             F = jax.vmap(ph.dynamics, in_axes=(0, 0, 0, None))(X[:-1], U, t_c, q)
             F = jnp.reshape(F, (pl.N, pl.nx))
             defects = D @ X - (tf - t0) / 2.0 * F
@@ -224,6 +236,20 @@ def make_constraints(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]
         return jnp.concatenate(rows) if rows else jnp.zeros((0,), dtype=z.dtype)
 
     return constraints
+
+
+def make_objective(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) -> Callable:
+    """Pure scalar objective on a fixed mesh (operators baked as constants)."""
+    obj_m = make_objective_mesh(problem, layout)
+    mesh = const_mesh(ops)
+    return lambda z: obj_m(z, mesh)
+
+
+def make_constraints(problem: Problem, layout: Layout, ops: Sequence[SegmentOps]) -> Callable:
+    """Pure constraint vector on a fixed mesh (operators baked as constants)."""
+    con_m = make_constraints_mesh(problem, layout)
+    mesh = const_mesh(ops)
+    return lambda z: con_m(z, mesh)
 
 
 def variable_bounds(problem: Problem, layout: Layout) -> tuple[np.ndarray, np.ndarray]:

@@ -75,60 +75,109 @@ def make_problem(degrees=(8,) * 6, fractions=None, regularization: float = 1e-6)
     return Problem(phases=(phase,), name="goddard")
 
 
+def _drag_g(h, v):
+    drag = DC * v * v * jnp.exp(-HC * (h - H0))
+    g = G0 * (H0 / h) ** 2
+    return drag, g
+
+
+def singular_surface(x):
+    """Switching/singular surface ``S = m g - (1 + v/c) D`` (zero along the
+    singular arc; derived from the vanishing switching function and its first
+    time derivative)."""
+    h, v, m = x
+    drag, g = _drag_g(h, v)
+    return m * g - (1.0 + v / C_EX) * drag
+
+
+def singular_thrust(x):
+    """The singular thrust from ``dS/dt = 0`` solved for T.
+
+    With ``D_h = -hc D``, ``D_v = 2D/v``, ``g_h = -2g/h``:
+
+        Ṡ = a·T + b,   a = -g/c - (D/c + (1+v/c) D_v)/m,
+        b = m g_h v - (1+v/c) D_h v + (D/c + (1+v/c) D_v)(D/m + g)
+
+    so ``T_sing = -b/a``. On the optimal arc T_sing ∈ (0, T_MAX); the clip
+    only guards the line search off the arc.
+    """
+    h, v, m = x
+    drag, g = _drag_g(h, v)
+    v_safe = jnp.where(jnp.abs(v) > 1e-12, v, 1e-12)
+    d_h = -HC * drag
+    d_v = 2.0 * drag / v_safe
+    g_h = -2.0 * g / h
+    k = drag / C_EX + (1.0 + v / C_EX) * d_v
+    a = -g / C_EX - k / m
+    b = m * g_h * v - (1.0 + v / C_EX) * d_h * v + k * (drag / m + g)
+    return jnp.clip(-b / a, 0.0, T_MAX)
+
+
 def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
-    """Bang–singular–bang decomposition (the methodology GPOPS-class tools use
-    for this problem): phase 1 full thrust, phase 2 free thrust ON the
-    singular surface ``m g - (1 + v/c) D = 0`` imposed as an equality path
-    constraint, phase 3 zero thrust (coast) to the apex. Free interior times
-    via the automatic time linkage. Recovers the published h* ≈ 1.0128 that
-    the single-phase bang-bang local optimum (h ≈ 1.0040) misses.
+    """Bang–singular–bang decomposition (the methodology GPOPS-class tools
+    use for this problem): phase 1 full thrust until the state reaches the
+    singular surface ``S = m g - (1 + v/c) D = 0`` (imposed ONCE, as a
+    terminal event of phase 1), phase 2 flies the analytic singular thrust
+    ``T_sing(x)`` from ``dS/dt = 0`` (control eliminated — imposing S = 0 as
+    an equality path row at every node is rank-deficient against the defects,
+    since the surface is flow-invariant under T_sing), phase 3 coasts (T = 0)
+    to the apex ``v(tf) = 0``. Interior switch times are free through the
+    automatic time linkage; phase 2 ends at the fuel limit ``m = 0.6``.
+    Recovers the published h* ≈ 1.01283 that the single-phase bang-bang local
+    optimum (h ≈ 1.0040) misses.
     """
     from ..core.problem import Linkage
 
-    def dynamics(x, u, t, q):
-        h, v, m = x
-        T = u[0]
-        drag = DC * v * v * jnp.exp(-HC * (h - H0))
-        g = G0 * (H0 / h) ** 2
-        return jnp.array([v, (T - drag) / m - g, -T / C_EX])
+    def dyn_T(T_of):
+        def dynamics(x, u, t, q):
+            h, v, m = x
+            T = T_of(x)
+            drag, g = _drag_g(h, v)
+            return jnp.array([v, (T - drag) / m - g, -T / C_EX])
 
-    def singular_surface(x, u, t, q):
-        h, v, m = x
-        drag = DC * v * v * jnp.exp(-HC * (h - H0))
-        g = G0 * (H0 / h) ** 2
-        return jnp.array([m * g - (1.0 + v / C_EX) * drag])
+        return dynamics
 
-    x_lo = np.array([H0, -0.5, M_FINAL])
+    x_lo = np.array([H0, 0.0, M_FINAL])
     x_hi = np.array([2.0, 0.5, M0])
-    common = dict(
-        nx=3, nu=1, dynamics=dynamics,
-        x_bounds=(x_lo, x_hi),
+    # guesses from a direct RK4 shooting of the bang/singular/coast law
+    # (switch when S crosses zero, stop the arc at the fuel limit): the
+    # velocity RISES along the singular arc here, unlike the naive guess.
+    guess_h = [(1.0, 1.0007), (1.0007, 1.0049), (1.0049, 1.0128)]
+    guess_v = [(0.0, 0.0585), (0.0585, 0.1333), (0.1333, 0.0)]
+    guess_m = [(1.0, 0.8354), (0.8354, 0.6), (0.6, 0.6)]
+    t_knots = [0.0, 0.0235, 0.0727, 0.1989]
+    dynamics_by_phase = (
+        dyn_T(lambda x: T_MAX),
+        dyn_T(singular_thrust),
+        dyn_T(lambda x: 0.0),
     )
-    guess_h = [(1.0, 1.004), (1.004, 1.009), (1.009, 1.0128)]
-    guess_v = [(0.0, 0.14), (0.14, 0.05), (0.05, 0.0)]
-    guess_m = [(1.0, 0.75), (0.75, 0.6), (0.6, 0.6)]
-    guess_T = [(T_MAX, T_MAX), (1.5, 0.5), (0.0, 0.0)]
-    t_knots = [0.0, 0.023, 0.068, 0.2]
     phases = []
     for i in range(3):
-        u_b = {0: (T_MAX, T_MAX), 1: (0.0, T_MAX), 2: (0.0, 0.0)}[i]
-        t0b = (0.0, 0.0) if i == 0 else (0.01, 0.3)
-        tfb = (0.01, 0.3) if i < 2 else (0.05, 0.4)
-        kw = dict(common)
-        if i == 1:
-            kw.update(npath=1, path=singular_surface, path_bounds=(0.0, 0.0))
+        kw = dict(nx=3, nu=0, dynamics=dynamics_by_phase[i], x_bounds=(x_lo, x_hi))
+        t0b = (0.0, 0.0) if i == 0 else (0.005, 0.3)
+        tfb = (0.005, 0.3) if i < 2 else (0.05, 0.4)
         if i == 0:
-            kw.update(x0_bounds=(np.array([H0, 0.0, M0]), np.array([H0, 0.0, M0])))
+            kw.update(
+                x0_bounds=(np.array([H0, 0.0, M0]), np.array([H0, 0.0, M0])),
+                # phase 1 ends ON the singular surface
+                nevent=1,
+                event=lambda x0, t0, xf, tf, q: jnp.array([singular_surface(xf)]),
+                event_bounds=(0.0, 0.0),
+            )
+        if i == 1:
+            # fuel limit reached exactly at the end of the singular arc
+            kw.update(xf_bounds=(np.array([H0, 0.0, M_FINAL]),
+                                 np.array([2.0, 0.5, M_FINAL])))
         if i == 2:
             kw.update(xf_bounds=(np.array([H0, 0.0, M_FINAL]),
                                  np.array([2.0, 0.0, M_FINAL])),
                       mayer=lambda x0, t0, xf, tf, q: -xf[0])
         phases.append(Phase(
-            u_bounds=u_b, t0_bounds=t0b, tf_bounds=tfb,
+            t0_bounds=t0b, tf_bounds=tfb,
+            duration_bounds=(0.005, 0.4),
             guess_t=np.array([t_knots[i], t_knots[i + 1]]),
             guess_x=np.array([[guess_h[i][0], guess_v[i][0], guess_m[i][0]],
                               [guess_h[i][1], guess_v[i][1], guess_m[i][1]]]),
-            guess_u=np.array([[guess_T[i][0]], [guess_T[i][1]]]),
             mesh_degrees=tuple(degrees[i]),
             mesh_fractions=uniform_fractions(len(degrees[i])),
             name=f"goddard-phase-{i + 1}",

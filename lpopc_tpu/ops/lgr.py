@@ -313,6 +313,59 @@ def make_segment_ops(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def runtime_mesh_patterns(degrees: tuple[int, ...]):
+    """Static patterns for materializing phase operators from RUNTIME fractions.
+
+    For a fixed per-segment degree tuple, every collocation operator is a
+    simple rescaling of per-segment constants by the segment half-widths:
+    ``tau = a_s + (tau_loc+1)·h_s``, ``w = w_loc·h_s``, ``D = D_loc/h_s``
+    (``make_segment_ops`` above bakes the same identities into constants).
+    Exposing the unscaled patterns lets a jitted solve take the mesh
+    *fractions* as a traced argument — one compiled solver serves every mesh
+    with the same degree signature, which is what makes the hp-refinement
+    loop's shape-bucketing (core/solve.py) recompile-free.
+
+    Returns ``(tau_pat, w_pat, P, row_seg)``: per-collocation-row patterns
+    ``tau_loc + 1`` and ``w_loc``, the unscaled block-diagonal ``D`` pattern
+    ``P`` (N, N+1), and the row→segment index map.
+    """
+    degrees = tuple(int(d) for d in degrees)
+    N = sum(degrees)
+    P = np.zeros((N, N + 1))
+    tau_pat = np.empty(N)
+    w_pat = np.empty(N)
+    row_seg = np.empty(N, dtype=np.int32)
+    off = 0
+    for k, nk in enumerate(degrees):
+        tau_loc, w_loc, D_loc, _ = segment_matrices(nk)
+        P[off : off + nk, off : off + nk + 1] = D_loc
+        tau_pat[off : off + nk] = tau_loc + 1.0
+        w_pat[off : off + nk] = w_loc
+        row_seg[off : off + nk] = k
+        off += nk
+    for arr in (tau_pat, w_pat, P, row_seg):
+        arr.setflags(write=False)
+    return tau_pat, w_pat, P, row_seg
+
+
+def materialize_phase_ops(degrees: tuple[int, ...], fracs):
+    """(tau, tau_state, w, D) as jax arrays from runtime fractions ``fracs``
+    ((S+1,) array spanning [-1, 1]). Trace-safe; used inside jit."""
+    import jax.numpy as jnp
+
+    tau_pat, w_pat, P, row_seg = runtime_mesh_patterns(tuple(degrees))
+    fracs = jnp.asarray(fracs)
+    half = (fracs[1:] - fracs[:-1]) / 2.0
+    hs = half[row_seg]
+    a_s = fracs[:-1][row_seg]
+    tau = a_s + jnp.asarray(tau_pat, fracs.dtype) * hs
+    w = jnp.asarray(w_pat, fracs.dtype) * hs
+    D = jnp.asarray(P, fracs.dtype) / hs[:, None]
+    tau_state = jnp.concatenate([tau, jnp.ones((1,), fracs.dtype)])
+    return tau, tau_state, w, D
+
+
 def uniform_fractions(num_segments: int) -> tuple[float, ...]:
     """K+1 equally spaced mesh points spanning [-1, 1]."""
     return tuple(np.linspace(-1.0, 1.0, num_segments + 1).tolist())

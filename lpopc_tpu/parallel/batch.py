@@ -96,9 +96,12 @@ def make_batch_solver(
             make_structured_jacobian(problem, nlp.layout, nlp.ops),
             make_structured_hessian(problem, nlp.layout, nlp.ops),
         )
+    from ..core.solve import _kkt_factorizer
+
     solver = build_solver(
         scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
         jac_fn=jac_fn, hess_fn=hess_fn,
+        kkt_factorizer=_kkt_factorizer(nlp, options),
     )
     vsolver = jax.vmap(solver)
     if mesh is not None:
