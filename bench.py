@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("LPOPC_BENCH_CPU"):
+    # honor an explicit CPU request even though the session sitecustomize
+    # pre-imports jax with the axon TPU plugin (env vars alone are too late)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 # The persistent compilation cache (LPOPC_TPU_CACHE_DIR) is NOT auto-enabled
 # here: XLA AOT cache entries are machine-feature-pinned and a mismatched
 # entry could fail the benchmark run; a cold compile is ~70 s and always works.

@@ -81,6 +81,26 @@ class IPMOptions:
     max_refine: int = 1          # iterative-refinement rounds on the KKT step
     record_history: bool = False # per-iteration (kkt, mu, alpha, delta) trace
     lane_kkt: bool = False       # lane-parallel Pallas KKT kernels under vmap
+    # Apply-mode factorization: for small condensed systems (n below this
+    # threshold) the Cholesky factor's INVERSE is formed once per
+    # factorization (one triangular solve with n right-hand sides — a single
+    # well-utilized op) so that each of the ~9 KKT solves per IPM iteration
+    # becomes two matvecs (pure MXU work) instead of a latency-bound
+    # sequential triangular solve. This is what makes a vmapped instance
+    # sweep scale with batch on TPU.
+    inverse_threshold: int = 600
+    # Factorization precision: "f64" | "f32". f32 runs the Cholesky +
+    # triangular math on the TPU's native f32 units (f64 is emulated and
+    # ~10x slower); the f64 iterative refinement against the TRUE KKT system
+    # (below) restores full accuracy as long as the equilibrated K's
+    # condition number stays below ~1/eps_f32, which the symmetric Jacobi
+    # equilibration enforces in practice. (SURVEY §7 hard-part 3.)
+    factor_dtype: str = "f64"
+    # Barrier strategy: "monotone" (Fiacco-McCormick, mu shrinks only when
+    # the barrier subproblem is solved) or "adaptive" (Mehrotra-style
+    # probing: mu tracks sigma * mean complementarity each iteration —
+    # reference parity with IPOPT's mu_strategy=adaptive, LpNLPSolver.cpp:28).
+    mu_strategy: str = "monotone"
 
 
 class IPMResult(NamedTuple):
@@ -147,6 +167,26 @@ def build_solver(
         _factor_ok = lambda L: (
             jnp.all(jnp.isfinite(jnp.diagonal(L))) & (jnp.min(jnp.diagonal(L)) > 0.0)
         )
+    elif n <= opt.inverse_threshold:
+        # apply mode: form L^{-1} once (ONE triangular solve with n rhs),
+        # then every solve is K^{-1} b = L^{-T} (L^{-1} b) — two matvecs.
+        def _factorize(K):
+            L = jnp.linalg.cholesky(K)
+            Linv = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(K.shape[-1], dtype=K.dtype), lower=True
+            )
+            return L, Linv
+
+        def _fsolve(F, b):
+            _, Li = F
+            return Li.T @ (Li @ b)
+
+        def _factor_ok(F):
+            dL = jnp.diagonal(F[0])
+            return (
+                jnp.all(jnp.isfinite(dL)) & (jnp.min(dL) > 0.0)
+                & jnp.all(jnp.isfinite(F[1]))
+            )
     else:
         _factorize = jnp.linalg.cholesky
         _fsolve = lambda L, b: jax.scipy.linalg.cho_solve((L, True), b)
@@ -154,7 +194,31 @@ def build_solver(
             jnp.all(jnp.isfinite(jnp.diagonal(L))) & (jnp.min(jnp.diagonal(L)) > 0.0)
         )
 
-    def solve(z0, zl, zu, cl, cu, lam0=None, aux=None):
+    # equilibrated, dtype-cast wrappers around the raw factorizer: solves are
+    # against the ORIGINAL K (the Jacobi scaling E K E is internal), so all
+    # call sites and the refinement logic are unchanged.
+    _fdt = jnp.float32 if opt.factor_dtype == "f32" else None
+
+    def _eq_factorize(K):
+        e = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(jnp.diagonal(K)), 1e-12))
+        Keq = K * (e[:, None] * e[None, :])
+        if _fdt is not None:
+            Keq = Keq.astype(_fdt)
+        return _factorize(Keq), e
+
+    def _eq_solve(Fe, b):
+        F, e = Fe
+        rhs = e * b
+        if _fdt is not None:
+            x = _fsolve(F, rhs.astype(_fdt)).astype(b.dtype)
+        else:
+            x = _fsolve(F, rhs)
+        return e * x
+
+    def _eq_ok(Fe):
+        return _factor_ok(Fe[0])
+
+    def solve(z0, zl, zu, cl, cu, lam0=None, aux=None, zl_d_init=None, zu_d_init=None):
         if takes_aux:
             objective = lambda z: obj_base(z, aux)
             constraints = lambda z: con_base(z, aux)
@@ -199,13 +263,36 @@ def build_solver(
         c0 = constraints(z_init)
         s_init = jnp.where(fixed[n:], wl[n:], push_inside(c0, cl, cu))
         w0 = jnp.concatenate([z_init, s_init])
-        mu0 = jnp.asarray(opt.mu_init, dtype)
         gl0, gu0 = gaps(w0)
-        zl_d0 = jnp.where(has_lo, mu0 / gl0, 0.0)
-        zu_d0 = jnp.where(has_up, mu0 / gu0, 0.0)
-        lam0 = jnp.zeros((m,), dtype) if lam0 is None else jnp.asarray(lam0, dtype)
-
         nb = jnp.sum(has_lo) + jnp.sum(has_up)
+        mu_min = jnp.asarray(max(1e-13, opt.tol / 100.0), dtype)
+        if zl_d_init is None:
+            mu0 = jnp.asarray(opt.mu_init, dtype)
+            zl_d0 = jnp.where(has_lo, mu0 / gl0, 0.0)
+            zu_d0 = jnp.where(has_up, mu0 / gu0, 0.0)
+        else:
+            # Warm-started bound duals (IPOPT-style warm start across hp
+            # grids): mu starts at the carried average complementarity rather
+            # than mu_init, and the duals are kept up to the kappa_sigma
+            # safeguard corridor around the new central path.
+            zl_w = jnp.where(has_lo, jnp.maximum(jnp.asarray(zl_d_init, dtype), 0.0), 0.0)
+            zu_w = jnp.where(has_up, jnp.maximum(jnp.asarray(zu_d_init, dtype), 0.0), 0.0)
+            comp = (
+                jnp.sum(jnp.where(has_lo, zl_w * gl0, 0.0))
+                + jnp.sum(jnp.where(has_up, zu_w * gu0, 0.0))
+            ) / jnp.maximum(1.0, nb)
+            mu0 = jnp.clip(comp, 10.0 * mu_min, jnp.asarray(opt.mu_init, dtype))
+            zl_d0 = jnp.where(
+                has_lo,
+                jnp.clip(zl_w, mu0 / (opt.kappa_sigma * gl0), opt.kappa_sigma * mu0 / gl0),
+                0.0,
+            )
+            zu_d0 = jnp.where(
+                has_up,
+                jnp.clip(zu_w, mu0 / (opt.kappa_sigma * gu0), opt.kappa_sigma * mu0 / gu0),
+                0.0,
+            )
+        lam0 = jnp.zeros((m,), dtype) if lam0 is None else jnp.asarray(lam0, dtype)
 
         def kkt_error_parts(w, lam, zl_d, zu_d):
             """Shared pieces of IPOPT's scaled optimality error E_mu (eq. 5).
@@ -296,15 +383,15 @@ def build_solver(
                 d = sig_s / (1.0 + delta_c * sig_s)
                 wdiag = sigma_z + delta_w
                 K = H + jnp.diag(wdiag) + (J.T * d) @ J
-                L = _factorize(K)
+                L = _eq_factorize(K)
 
                 def csolve(ra, rb, rc):
                     """Solve the delta_c-regularized Newton system
                     [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
                     W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
                     rhs = ra + J.T @ (d * (rc + rb / sig_s))
-                    dz_ = _fsolve(L, rhs)
-                    dz_ = dz_ + _fsolve(L, rhs - K @ dz_)
+                    dz_ = _eq_solve(L, rhs)
+                    dz_ = dz_ + _eq_solve(L, rhs - K @ dz_)
                     dlam_ = d * (J @ dz_ - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
@@ -319,18 +406,26 @@ def build_solver(
                 # divergence). A growing refinement residual flags indefinite
                 # K and triggers the δw regularization search.
                 rhs0 = -a - J.T @ (d * (r_p + b / sig_s))
-                dz0 = _fsolve(L, rhs0)
+                dz0 = _eq_solve(L, rhs0)
                 r0 = jnp.max(jnp.abs(rhs0 - K @ dz0))
-                dz1 = dz0 + _fsolve(L, rhs0 - K @ dz0)
-                dz1 = dz1 + _fsolve(L, rhs0 - K @ dz1)
+                dz1 = dz0 + _eq_solve(L, rhs0 - K @ dz0)
+                dz1 = dz1 + _eq_solve(L, rhs0 - K @ dz1)
                 r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
                 # absolute floor: once the residual is at rounding level
-                # relative to the rhs, "growth" is noise, not indefiniteness
-                floor = 1e-9 * (1.0 + jnp.max(jnp.abs(rhs0)))
+                # relative to the rhs, "growth" is noise, not indefiniteness.
+                # With f32 factors the refinement contraction rate is coarser
+                # (~cond(EKE) * 2^-24 per round), so both the growth margin
+                # and the floor widen accordingly.
+                if _fdt is None:
+                    floor = 1e-9 * (1.0 + jnp.max(jnp.abs(rhs0)))
+                    growth = 1.2
+                else:
+                    floor = 1e-5 * (1.0 + jnp.max(jnp.abs(rhs0)))
+                    growth = 2.0
                 ok = (
-                    _factor_ok(L)
+                    _eq_ok(L)
                     & jnp.all(jnp.isfinite(dz1))
-                    & ((r_end <= 1.2 * r0 + 1e-300) | (r_end <= floor))
+                    & ((r_end <= growth * r0 + 1e-300) | (r_end <= floor))
                 )
 
                 dz, ds, dlam = csolve(-a, -b, -r_p)
@@ -488,17 +583,42 @@ def build_solver(
             zl_new = jnp.where(bad, zl_d, zl_new)
             zu_new = jnp.where(bad, zu_d, zu_new)
 
-            # barrier update: tighten mu once the barrier problem is solved
+            # barrier update
             err_parts, gjc_new = kkt_error_parts(w_new, lam_new, zl_new, zu_new)
             e_mu = error_from_parts(err_parts, mu)
-            mu_min = jnp.asarray(max(1e-13, opt.tol / 100.0), dtype)
-            mu_next = jnp.where(
-                e_mu <= opt.kappa_eps * mu,
-                jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
-                mu,
-            )
-            # the filter is tied to phi_mu: reset it on barrier updates (IPOPT does)
-            f_count = jnp.where(mu_next != mu, 0, f_count)
+            if opt.mu_strategy == "adaptive":
+                # Adaptive barrier (reference parity: IPOPT runs
+                # mu_strategy=adaptive, LpNLPSolver.cpp:28). LOQO/Vanderbei
+                # centrality rule: mu tracks the average complementarity,
+                # scaled down by how centered the iterate already is —
+                # sigma = 0.1 * min(0.05 (1-xi)/xi, 2)^3, xi = min comp / avg.
+                gl_a, gu_a = gaps(w_new)
+                comp_l_a = jnp.where(has_lo, zl_new * gl_a, 0.0)
+                comp_u_a = jnp.where(has_up, zu_new * gu_a, 0.0)
+                avg_c = (jnp.sum(comp_l_a) + jnp.sum(comp_u_a)) / jnp.maximum(1.0, nb)
+                cmin = jnp.minimum(
+                    _masked_min(comp_l_a, has_lo), _masked_min(comp_u_a, has_up)
+                )
+                xi = cmin / jnp.maximum(avg_c, 1e-300)
+                sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
+                mu_ad = jnp.clip(
+                    sigma_c * avg_c, mu_min, jnp.asarray(opt.mu_init, dtype)
+                )
+                mu_next = jnp.where(nb > 0, mu_ad, mu)
+                # filter entries store phi at the old mu: flush on big moves
+                f_count = jnp.where(
+                    (mu_next < 0.2 * mu) | (mu_next > 5.0 * mu), 0, f_count
+                )
+            else:
+                # monotone Fiacco-McCormick: tighten once the barrier
+                # subproblem is solved to kappa_eps * mu
+                mu_next = jnp.where(
+                    e_mu <= opt.kappa_eps * mu,
+                    jnp.maximum(mu_min, jnp.minimum(opt.kappa_mu * mu, mu ** opt.theta_mu)),
+                    mu,
+                )
+                # the filter is tied to phi_mu: reset on barrier updates (IPOPT does)
+                f_count = jnp.where(mu_next != mu, 0, f_count)
 
             e_0 = error_from_parts(err_parts, jnp.zeros((), dtype))
             status_new = jnp.where(e_0 <= opt.tol, SOLVED, status)
@@ -507,19 +627,22 @@ def build_solver(
                 (it + 1 >= opt.max_iter) & (status_new == RUNNING), MAX_ITER, status_new
             )
             slot = jnp.minimum(it, hist["kkt"].shape[0] - 1)
-            lin_err = jnp.max(jnp.abs(J @ dz - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
-            hist_new = {
-                "kkt": hist["kkt"].at[slot].set(e_0),
-                "mu": hist["mu"].at[slot].set(mu),
-                "alpha": hist["alpha"].at[slot].set(alpha),
-                "alpha_max": hist["alpha_max"].at[slot].set(alpha_max),
-                "delta_w": hist["delta_w"].at[slot].set(delta_used),
-                "theta": hist["theta"].at[slot].set(theta(w_new)),
-                "ls_iters": hist["ls_iters"].at[slot].set(jj),
-                "lin_err": hist["lin_err"].at[slot].set(lin_err),
-                "dphi": hist["dphi"].at[slot].set(dphi),
-                "step_inf": hist["step_inf"].at[slot].set(jnp.max(jnp.abs(dw))),
-            }
+            if opt.record_history:
+                lin_err = jnp.max(jnp.abs(J @ dz - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
+                hist_new = {
+                    "kkt": hist["kkt"].at[slot].set(e_0),
+                    "mu": hist["mu"].at[slot].set(mu),
+                    "alpha": hist["alpha"].at[slot].set(alpha),
+                    "alpha_max": hist["alpha_max"].at[slot].set(alpha_max),
+                    "delta_w": hist["delta_w"].at[slot].set(delta_used),
+                    "theta": hist["theta"].at[slot].set(theta(w_new)),
+                    "ls_iters": hist["ls_iters"].at[slot].set(jj),
+                    "lin_err": hist["lin_err"].at[slot].set(lin_err),
+                    "dphi": hist["dphi"].at[slot].set(dphi),
+                    "step_inf": hist["step_inf"].at[slot].set(jnp.max(jnp.abs(dw))),
+                }
+            else:
+                hist_new = hist
             # boost the next regularization start after a failed line search:
             # the step direction was sound by the factorization's account but
             # useless in practice — damp the near-null directions next time

@@ -56,6 +56,12 @@ REGISTRY: tuple[OptionSpec, ...] = (
                doc="hp-Liu smoothness threshold (reference default 1.2)"),
     OptionSpec("mu_init", "mu-init", float, 1e-1, 0.0, 10.0,
                doc="initial barrier parameter"),
+    OptionSpec("mu_strategy", "mu-strategy", str, "monotone",
+               choices=("monotone", "adaptive"),
+               doc="barrier update rule (reference runs IPOPT mu_strategy=adaptive)"),
+    OptionSpec("iteration_log_dir", "output-file-dir", str, None,
+               doc="write per-grid IPM iteration traces grid-<k>-ipm-out.txt "
+                   "(reference: grid-<k>Ipopt-out.txt)"),
     OptionSpec("block_kkt", "block-kkt", str, "auto",
                choices=("auto", "on", "off"),
                doc="segment-block + border-Schur KKT factorization (core/block_kkt.py)"),

@@ -87,6 +87,10 @@ class Solution:
     error_history: list = field(default_factory=list)
     grids: int = 1
     max_relative_error: float = np.nan
+    # bound duals on [z; s] in ORIGINAL (unscaled) problem space, for
+    # IPOPT-style warm starts across hp grids (None when not captured)
+    zl_dual: Optional[np.ndarray] = None
+    zu_dual: Optional[np.ndarray] = None
 
     @property
     def solved(self) -> bool:
@@ -110,6 +114,8 @@ def extract_solution(
     status: int,
     kkt_error: float,
     iterations: int,
+    zl_dual: np.ndarray = None,
+    zu_dual: np.ndarray = None,
 ) -> Solution:
     """Build a :class:`Solution` from converged NLP primal/dual vectors."""
     z = np.asarray(z)
@@ -165,7 +171,7 @@ def extract_solution(
     return Solution(
         phases=phases, objective=float(objective), status=int(status),
         kkt_error=float(kkt_error), iterations=int(iterations),
-        z=z, lam=lam,
+        z=z, lam=lam, zl_dual=zl_dual, zu_dual=zu_dual,
     )
 
 

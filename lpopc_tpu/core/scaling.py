@@ -54,6 +54,19 @@ class ScaledNLP:
     def unscale_objective(self, obj):
         return float(obj) / self.obj_scale
 
+    def bound_dual_scale(self) -> np.ndarray:
+        """Row scale taking scaled-space bound duals on [z; s] to original
+        space: stationarity in scaled space is s_f V⁻¹∇f + V⁻¹Jᵀ S_c λ̃ − z̃_L
+        + z̃_U = 0 (z rows; S_c rows for slacks), so z_L = V z̃_L / s_f and
+        z_L^(s) = S_c z̃_L^(s) / s_f."""
+        return np.concatenate([self.var_scale, self.con_scale]) / self.obj_scale
+
+    def unscale_bound_duals(self, zd):
+        return np.asarray(zd) * self.bound_dual_scale()
+
+    def rescale_bound_duals(self, zd_orig):
+        return np.asarray(zd_orig) / self.bound_dual_scale()
+
     def wrap_structured(self, jac_raw, hess_raw):
         """Scaled-space (jac_fn, hess_fn) from raw structured assemblers.
 
@@ -87,7 +100,12 @@ def scale_nlp(
     g_max: float = 1.0,
     enabled: bool = True,
     variable_scaling: bool = False,
+    jac_fn: Callable = None,
 ) -> ScaledNLP:
+    """``jac_fn(z) -> (m, n)`` overrides the global ``jax.jacfwd`` used for
+    the row norms with the structure-exploiting per-node assembly
+    (:mod:`.structured`) — same values, far cheaper trace/compile on big
+    meshes (no m-direction forward sweep through the whole transcription)."""
     n = z0.shape[0]
     m = cl.shape[0]
     if not enabled:
@@ -104,7 +122,12 @@ def scale_nlp(
         v = 1.0 / span
     z0j = jnp.asarray(z0)
     g0 = np.asarray(jax.grad(objective)(z0j))
-    J0 = np.asarray(jax.jacfwd(constraints)(z0j)) if m > 0 else np.zeros((0, n))
+    if m == 0:
+        J0 = np.zeros((0, n))
+    elif jac_fn is not None:
+        J0 = np.asarray(jac_fn(z0j))
+    else:
+        J0 = np.asarray(jax.jacfwd(constraints)(z0j))
     # gradients w.r.t. scaled variables pick up a 1/v factor
     g_inf = np.max(np.abs(g0 / v)) if n else 0.0
     sf = float(min(1.0, g_max / g_inf)) if g_inf > 0 else 1.0

@@ -74,14 +74,25 @@ class SolveOptions:
     n_max: int = 16
     curvature_ratio: float = 1.2
     mu_init: float = 1e-1
+    # Barrier update rule (reference runs IPOPT's mu_strategy=adaptive,
+    # LpNLPSolver.cpp:28): "monotone" Fiacco-McCormick or "adaptive"
+    # LOQO-centrality (see IPMOptions.mu_strategy).
+    mu_strategy: str = "monotone"
     verbose: bool = False
     checkpoint_dir: str = None     # save per-grid state for resume (utils.checkpoint)
+    # Per-grid IPM iteration trace files grid-<k>-ipm-out.txt (the
+    # reference's grid-<k>Ipopt-out.txt, LpNLPSolver.cpp:24-29).
+    iteration_log_dir: str = None
     ipm: IPMOptions = None
 
     def ipm_options(self) -> IPMOptions:
-        if self.ipm is not None:
-            return self.ipm
-        return IPMOptions(tol=self.tol, max_iter=self.max_iterations, mu_init=self.mu_init)
+        base = self.ipm if self.ipm is not None else IPMOptions(
+            tol=self.tol, max_iter=self.max_iterations, mu_init=self.mu_init,
+            mu_strategy=self.mu_strategy,
+        )
+        if self.iteration_log_dir and not base.record_history:
+            base = replace(base, record_history=True)
+        return base
 
 
 def describe_problem(problem: Problem, options: SolveOptions = None) -> str:
@@ -162,6 +173,126 @@ def _warm_duals(prev_sol: Solution, problem: Problem, nlp) -> np.ndarray:
     if tail > 0:
         lam0[nlp.layout.ncon - tail :] = prev_sol.lam[prev_off:]
     return lam0
+
+
+def _warm_bound_duals(prev_sol: Solution, problem: Problem, nlp):
+    """Interpolate the previous grid's bound duals on [z; s] onto the new mesh
+    (IPOPT-style warm start carries z_L/z_U, not just the equality duals).
+
+    Node-attached components (state/control bound duals, defect/path slack
+    duals) interpolate over time like their primal counterparts; endpoint /
+    event / linkage / linear components copy. Returns (zl0, zu0) in ORIGINAL
+    problem space, or (None, None) when the previous solution has no duals.
+    """
+    from ..ops.interp import cubic_spline_interpolate
+
+    if prev_sol.zl_dual is None or prev_sol.zu_dual is None:
+        return None, None
+    n_new, m_new = nlp.layout.nvar, nlp.layout.ncon
+    outs = (np.zeros(n_new + m_new), np.zeros(n_new + m_new))
+    prevs = (np.asarray(prev_sol.zl_dual), np.asarray(prev_sol.zu_dual))
+    n_prev = prev_sol.z.shape[0]
+
+    def interp(t_prev, vals_prev, t_new):
+        v = cubic_spline_interpolate(t_prev, vals_prev, t_new)
+        # duals are nonnegative; clamp spline overshoot into the data range
+        return np.clip(v, 0.0, np.maximum(vals_prev.max(axis=0), 0.0))
+
+    # ----- z-part -----
+    prev_off = 0
+    for ph, pl, op, psol in zip(
+        problem.phases, nlp.layout.phases, nlp.ops, prev_sol.phases
+    ):
+        npts_prev = psol.t_state.shape[0]
+        N_prev = npts_prev - 1
+        nx, nu, nq = pl.nx, pl.nu, pl.nq
+        half = (psol.tf - psol.t0) / 2.0
+        t_state_new = (np.asarray(op.tau_state) + 1.0) * half + psol.t0
+        t_col_new = (np.asarray(op.tau) + 1.0) * half + psol.t0
+        for prev, out in zip(prevs, outs):
+            if nx:
+                Xd = prev[prev_off : prev_off + npts_prev * nx].reshape(npts_prev, nx)
+                out[pl.x_slice] = interp(psol.t_state, Xd, t_state_new).reshape(-1)
+            if nu:
+                uoff = prev_off + npts_prev * nx
+                Ud = prev[uoff : uoff + N_prev * nu].reshape(N_prev, nu)
+                out[pl.u_slice] = interp(psol.t_col, Ud, t_col_new).reshape(-1)
+            toff = prev_off + npts_prev * nx + N_prev * nu
+            out[pl.t0_index] = prev[toff]
+            out[pl.tf_index] = prev[toff + 1]
+            if nq:
+                out[pl.q_slice] = prev[toff + 2 : toff + 2 + nq]
+        prev_off += npts_prev * nx + N_prev * nu + 2 + nq
+    # ----- s-part (constraint-row slack duals; same row layout as lam) -----
+    prev_off = n_prev
+    for ph, pl, op, psol in zip(
+        problem.phases, nlp.layout.phases, nlp.ops, prev_sol.phases
+    ):
+        N_prev = psol.t_state.shape[0] - 1
+        half = (psol.tf - psol.t0) / 2.0
+        t_col_new = (np.asarray(op.tau) + 1.0) * half + psol.t0
+        for prev, out in zip(prevs, outs):
+            soff = n_new + pl.con_offset
+            if pl.nx:
+                Dd = prev[prev_off : prev_off + N_prev * pl.nx].reshape(N_prev, pl.nx)
+                out[soff : soff + pl.N * pl.nx] = interp(
+                    psol.t_col, Dd, t_col_new
+                ).reshape(-1)
+            if ph.npath:
+                poff_prev = prev_off + N_prev * pl.nx
+                Pd = prev[poff_prev : poff_prev + N_prev * ph.npath].reshape(
+                    N_prev, ph.npath
+                )
+                poff_new = soff + pl.N * pl.nx
+                out[poff_new : poff_new + pl.N * ph.npath] = interp(
+                    psol.t_col, Pd, t_col_new
+                ).reshape(-1)
+            if ph.nevent:
+                eoff_prev = prev_off + N_prev * (pl.nx + ph.npath)
+                eoff_new = soff + pl.N * (pl.nx + ph.npath)
+                out[eoff_new : eoff_new + ph.nevent] = prev[
+                    eoff_prev : eoff_prev + ph.nevent
+                ]
+        prev_off += N_prev * (pl.nx + ph.npath) + ph.nevent
+    # linkage + linear rows: copy the tail verbatim
+    tail = (n_prev + prev_sol.lam.shape[0]) - prev_off
+    if tail > 0:
+        for prev, out in zip(prevs, outs):
+            out[n_new + m_new - tail :] = prev[prev.shape[0] - tail :]
+    return outs
+
+
+def _write_iteration_log(path_dir: str, grid: int, res, nlp) -> None:
+    """Per-grid iteration trace file (the reference writes
+    ``grid-<k>Ipopt-out.txt`` per mesh, ``LpNLPSolver.cpp:24-29``)."""
+    import os
+
+    os.makedirs(path_dir, exist_ok=True)
+    hist = res.history
+    iters = int(res.iterations)
+    path = os.path.join(path_dir, f"grid-{grid}-ipm-out.txt")
+    with open(path, "w") as f:
+        f.write(
+            f"# lpopc_tpu IPM trace: n={nlp.n} m={nlp.m} status={int(res.status)} "
+            f"iterations={iters} objective={float(res.objective):.16g} "
+            f"kkt_error={float(res.kkt_error):.3e}\n"
+        )
+        f.write(
+            f"{'iter':>4} {'kkt':>12} {'mu':>10} {'theta':>12} {'alpha':>10} "
+            f"{'alpha_max':>10} {'delta_w':>10} {'ls':>3} {'lin_err':>10} "
+            f"{'dphi':>11} {'step_inf':>10}\n"
+        )
+        if hist is None:
+            return
+        h = {k: np.asarray(v) for k, v in hist.items()}
+        for i in range(min(iters, h["kkt"].shape[0])):
+            f.write(
+                f"{i:>4} {h['kkt'][i]:>12.4e} {h['mu'][i]:>10.2e} "
+                f"{h['theta'][i]:>12.4e} {h['alpha'][i]:>10.2e} "
+                f"{h['alpha_max'][i]:>10.2e} {h['delta_w'][i]:>10.2e} "
+                f"{int(h['ls_iters'][i]):>3} {h['lin_err'][i]:>10.2e} "
+                f"{h['dphi'][i]:>11.3e} {h['step_inf'][i]:>10.2e}\n"
+            )
 
 
 _SOLVER_CACHE: dict = {}
@@ -274,15 +405,22 @@ def _build_rt_solver(problem: Problem, nlp, options: SolveOptions):
 
 
 def _solve_on_mesh_rt(
-    problem: Problem, options: SolveOptions, prev_sol: Solution = None
+    problem: Problem, options: SolveOptions, prev_sol: Solution = None,
+    grid: int = 1,
 ) -> Solution:
     """Runtime-mesh counterpart of :func:`solve_on_mesh`."""
     nlp = transcribe(problem)
+    jac_scale = None
+    if options.structured_derivatives:
+        from .structured import make_structured_jacobian
+
+        jac_scale = make_structured_jacobian(problem, nlp.layout, nlp.ops)
     scaled = scale_nlp(
         nlp.objective, nlp.constraints,
         nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
         enabled=options.auto_scale,
         variable_scaling=options.variable_scaling,
+        jac_fn=jac_scale,
     )
     key = _rt_solver_cache_key(problem, options)
     entry = _RT_SOLVER_CACHE.get(key)
@@ -292,9 +430,14 @@ def _solve_on_mesh_rt(
         while len(_RT_SOLVER_CACHE) > _SOLVER_CACHE_CAP:
             _RT_SOLVER_CACHE.pop(next(iter(_RT_SOLVER_CACHE)))
     jitted_solver, _ = entry
+    kw = {}
     if prev_sol is not None:
         lam_raw = _warm_duals(prev_sol, problem, nlp)
         lam0 = jnp.asarray(lam_raw * scaled.obj_scale / scaled.con_scale)
+        zl0_raw, zu0_raw = _warm_bound_duals(prev_sol, problem, nlp)
+        if zl0_raw is not None:
+            kw["zl_d_init"] = jnp.asarray(scaled.rescale_bound_duals(zl0_raw))
+            kw["zu_d_init"] = jnp.asarray(scaled.rescale_bound_duals(zu0_raw))
     else:
         lam0 = jnp.zeros((nlp.m,))
     aux = {
@@ -310,8 +453,10 @@ def _solve_on_mesh_rt(
         jnp.asarray(nlp.z0 * scaled.var_scale),
         jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
         jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
-        lam0, aux,
+        lam0, aux=aux, **kw,
     )
+    history = res.history
+    res = res._replace(history=None)
     res = jax.tree_util.tree_map(np.asarray, res)
     wall = time.perf_counter() - t_start
     z = scaled.unscale_z(res.z)
@@ -324,15 +469,24 @@ def _solve_on_mesh_rt(
             nlp.n, nlp.m, int(res.status), int(res.iterations), obj,
             float(res.kkt_error), wall,
         )
+    if options.iteration_log_dir and history is not None:
+        _write_iteration_log(
+            options.iteration_log_dir, grid,
+            res._replace(history=jax.tree_util.tree_map(np.asarray, history)),
+            nlp,
+        )
     return extract_solution(
         problem, nlp.layout, nlp.ops, z, lam, obj,
         int(res.status), float(res.kkt_error), int(res.iterations),
+        zl_dual=scaled.unscale_bound_duals(res.zl_dual),
+        zu_dual=scaled.unscale_bound_duals(res.zu_dual),
     )
 
 
 @traced
 def solve_on_mesh(
-    problem: Problem, options: SolveOptions, prev_sol: Solution = None
+    problem: Problem, options: SolveOptions, prev_sol: Solution = None,
+    grid: int = 1,
 ) -> Solution:
     """Single fixed-mesh solve: transcription + scaling + one IPM run.
 
@@ -343,25 +497,27 @@ def solve_on_mesh(
     keys cannot be recycled.
     """
     if options.mesh_bucketing == "on":
-        return _solve_on_mesh_rt(problem, options, prev_sol=prev_sol)
+        return _solve_on_mesh_rt(problem, options, prev_sol=prev_sol, grid=grid)
     nlp = transcribe(problem)
     key = _solver_cache_key(problem, nlp, options)
     entry = _SOLVER_CACHE.get(key)
     if entry is None:
+        jac_raw = hess_raw = None
+        if options.structured_derivatives:
+            from .structured import make_structured_hessian, make_structured_jacobian
+
+            jac_raw = make_structured_jacobian(problem, nlp.layout, nlp.ops)
+            hess_raw = make_structured_hessian(problem, nlp.layout, nlp.ops)
         scaled = scale_nlp(
             nlp.objective, nlp.constraints,
             nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
             enabled=options.auto_scale,
             variable_scaling=options.variable_scaling,
+            jac_fn=jac_raw,
         )
         jac_fn = hess_fn = None
-        if options.structured_derivatives:
-            from .structured import make_structured_hessian, make_structured_jacobian
-
-            jac_fn, hess_fn = scaled.wrap_structured(
-                make_structured_jacobian(problem, nlp.layout, nlp.ops),
-                make_structured_hessian(problem, nlp.layout, nlp.ops),
-            )
+        if jac_raw is not None:
+            jac_fn, hess_fn = scaled.wrap_structured(jac_raw, hess_raw)
         solver = jax.jit(build_solver(
             scaled.objective, scaled.constraints, nlp.n, nlp.m,
             options.ipm_options(), jac_fn=jac_fn, hess_fn=hess_fn,
@@ -373,17 +529,24 @@ def solve_on_mesh(
             _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
     scaled, jitted_solver, _ = entry
     lam0 = None
+    kw = {}
     if prev_sol is not None:
         # scaled-problem duals: lambda_scaled = lambda * s_f / S_c
         lam_raw = _warm_duals(prev_sol, problem, nlp)
         lam0 = jnp.asarray(lam_raw * scaled.obj_scale / scaled.con_scale)
+        zl0_raw, zu0_raw = _warm_bound_duals(prev_sol, problem, nlp)
+        if zl0_raw is not None:
+            kw["zl_d_init"] = jnp.asarray(scaled.rescale_bound_duals(zl0_raw))
+            kw["zu_d_init"] = jnp.asarray(scaled.rescale_bound_duals(zu0_raw))
     t_start = time.perf_counter()
     args = (
         jnp.asarray(nlp.z0 * scaled.var_scale),
         jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
         jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
     )
-    res = jitted_solver(*args) if lam0 is None else jitted_solver(*args, lam0)
+    res = jitted_solver(*args) if lam0 is None else jitted_solver(*args, lam0, **kw)
+    history = res.history
+    res = res._replace(history=None)
     res = jax.tree_util.tree_map(np.asarray, res)
     wall = time.perf_counter() - t_start
     z = scaled.unscale_z(res.z)
@@ -395,9 +558,17 @@ def solve_on_mesh(
             nlp.n, nlp.m, int(res.status), int(res.iterations), obj,
             float(res.kkt_error), wall,
         )
+    if options.iteration_log_dir and history is not None:
+        _write_iteration_log(
+            options.iteration_log_dir, grid,
+            res._replace(history=jax.tree_util.tree_map(np.asarray, history)),
+            nlp,
+        )
     return extract_solution(
         problem, nlp.layout, nlp.ops, z, lam, obj,
         int(res.status), float(res.kkt_error), int(res.iterations),
+        zl_dual=scaled.unscale_bound_duals(res.zl_dual),
+        zu_dual=scaled.unscale_bound_duals(res.zu_dual),
     )
 
 
@@ -424,7 +595,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     refiner_state = None
     original_phases = problem.phases
     for grid in range(max(1, options.max_grid_num)):
-        sol = solve_on_mesh(problem, options, prev_sol=prev_sol)
+        sol = solve_on_mesh(problem, options, prev_sol=prev_sol, grid=grid + 1)
         if sol.status != SOLVED and grid > 0:
             # Warm start led the NLP astray (local blowup / divergence): retry
             # this mesh cold from the user's original guess before giving up.
@@ -439,7 +610,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                     for ph, og in zip(problem.phases, original_phases)
                 ),
             )
-            cold_sol = solve_on_mesh(cold, options)
+            cold_sol = solve_on_mesh(cold, options, grid=grid + 1)
             if cold_sol.status == SOLVED or cold_sol.kkt_error < sol.kkt_error:
                 sol = cold_sol
         sol.grids = grid + 1
