@@ -136,6 +136,18 @@ class BlockFactor(NamedTuple):
     B: jnp.ndarray       # (S, nb, b) border-interior coupling
 
 
+def factor_from_blocks(A, B, C) -> BlockFactor:
+    """Block Cholesky + border Schur from already-assembled blocks:
+    ``A`` (S, b, b) interior (padded slots must carry identity), ``B``
+    (S, nb, b) border-interior coupling (padded slots zero), ``C`` (nb, nb)
+    border block."""
+    L = jnp.linalg.cholesky(A)
+    W = jax.scipy.linalg.cho_solve((L, True), jnp.swapaxes(B, 1, 2))  # (S, b, nb)
+    Schur = C - jnp.einsum("snb,sbm->nm", B, W)
+    Ls = jnp.linalg.cholesky(Schur)
+    return BlockFactor(L=L, W=W, Ls=Ls, B=B)
+
+
 def make_block_factorizer(spec: BlockKKTSpec):
     """Return ``(factorize, solve, factor_ok)`` closures over the spec.
 
@@ -155,13 +167,7 @@ def make_block_factorizer(spec: BlockKKTSpec):
         B = K[bi[None, :, None], ii[:, None, :]]        # (S, nb, b)
         B = jnp.where(mask[:, None, :], B, 0.0)
         C = K[bi[:, None], bi[None, :]]
-        L = jnp.linalg.cholesky(A)
-        W = jax.scipy.linalg.cho_solve(
-            (L, True), jnp.swapaxes(B, 1, 2)
-        )                                               # (S, b, nb)
-        Schur = C - jnp.einsum("snb,sbm->nm", B, W)
-        Ls = jnp.linalg.cholesky(Schur)
-        return BlockFactor(L=L, W=W, Ls=Ls, B=B)
+        return factor_from_blocks(A, B, C)
 
     def solve(F, r):
         r_int = jnp.where(mask, r[ii], 0.0)             # (S, b)

@@ -132,6 +132,7 @@ def build_solver(
     hess_fn: Callable | None = None,
     kkt_factorizer: tuple | None = None,
     takes_aux: bool = False,
+    structured_kkt=None,
 ) -> Callable:
     """Return ``solve(z0, zl, zu, cl, cu) -> IPMResult`` (pure; jit/vmap-able).
 
@@ -139,7 +140,13 @@ def build_solver(
     conditions, terminal sets, pinned parameters) is just a ``vmap`` over
     them. ``jac_fn(z) -> (m, n)`` and ``hess_fn(z, lam) -> (n, n)`` override
     the global-AD derivatives with structure-exploiting assembly
-    (see :mod:`.structured`). ``kkt_factorizer`` is an optional
+    (see :mod:`.structured`). ``structured_kkt`` — a
+    :class:`.kkt_blocks.BoundKKT` (or, with ``takes_aux``, a factory
+    ``aux -> BoundKKT``) — goes fully matrix-free: J/H matvecs from per-node
+    blocks and DIRECT per-segment assembly of the condensed KKT into
+    (A, B, C) block form, no dense (m, n)/(n, n) intermediates (O(S·b²)
+    memory); it overrides jac_fn/hess_fn/kkt_factorizer.
+    ``kkt_factorizer`` is an optional
     ``(factorize, solve, factor_ok)`` triple replacing dense Cholesky on the
     condensed K — e.g. the segment-block + border-Schur factorization of
     :mod:`.block_kkt`.
@@ -230,6 +237,12 @@ def build_solver(
             objective, constraints = obj_base, con_base
             jac_fn, hess_fn = jac_base, hess_base
         grad_f = jax.grad(objective)
+        sk = (
+            structured_kkt(aux)
+            if (structured_kkt is not None and takes_aux)
+            else structured_kkt
+        )
+        use_sk = sk is not None
 
         def lagrangian(z, lam):
             return objective(z) + jnp.dot(lam, constraints(z))
@@ -298,13 +311,20 @@ def build_solver(
             """Shared pieces of IPOPT's scaled optimality error E_mu (eq. 5).
             One gradient + Jacobian + constraint evaluation serves the barrier
             (E_mu) and outer (E_0) tests AND is carried into the next
-            iteration's step (which needs exactly g/J/c at this point)."""
+            iteration's step (which needs exactly g/J/c at this point).
+            ``Jop`` is the dense (m, n) Jacobian, or the per-node block tree
+            in structured-KKT mode."""
             z = w[:n]
             g_z = grad_f(z)
-            J = jac_c(z)
+            if use_sk:
+                Jop = sk.jac_blocks(z)
+                jt = sk.jtv(Jop, lam)
+            else:
+                Jop = jac_c(z)
+                jt = Jop.T @ lam
             c_val = constraints(z)
             g = jnp.concatenate([g_z, jnp.zeros((m,), dtype)])
-            jt_lam = jnp.concatenate([J.T @ lam, -lam])
+            jt_lam = jnp.concatenate([jt, -lam])
             r_d = g + jt_lam - jnp.where(has_lo, zl_d, 0.0) + jnp.where(has_up, zu_d, 0.0)
             r_d = jnp.where(fixed, 0.0, r_d)
             r_p = c_val - w[n:]
@@ -317,7 +337,7 @@ def build_solver(
             s_c = jnp.maximum(opt.s_max, (jnp.sum(jnp.abs(zl_d)) + jnp.sum(jnp.abs(zu_d))) / jnp.maximum(1.0, nb)) / opt.s_max
             e_d = jnp.max(jnp.abs(r_d)) / s_d
             e_p = jnp.max(jnp.abs(r_p)) if m > 0 else jnp.zeros((), dtype)
-            return (e_d, e_p, comp_l, comp_u, s_c), (g_z, J, c_val)
+            return (e_d, e_p, comp_l, comp_u, s_c), (g_z, Jop, c_val)
 
         def error_from_parts(parts, mu):
             e_d, e_p, comp_l, comp_u, s_c = parts
@@ -354,8 +374,18 @@ def build_solver(
              ls_fails) = state
             z = w[:n]
             gl, gu = gaps(w)
-            g_z, J, c_val = gjc   # carried from the previous convergence check
-            H = hess_l(z, lam)
+            g_z, Jop, c_val = gjc  # carried from the previous convergence check
+            if use_sk:
+                Hop = sk.hess_blocks(z, lam)
+                jv_ = lambda v: sk.jv(Jop, v)
+                jtv_ = lambda u: sk.jtv(Jop, u)
+                hv_ = lambda v: sk.hv(Hop, v)
+            else:
+                J = Jop
+                H = hess_l(z, lam)
+                jv_ = lambda v: J @ v
+                jtv_ = lambda u: J.T @ u
+                hv_ = lambda v: H @ v
             r_p = c_val - w[n:]
 
             sigma = jnp.where(has_lo, zl_d / gl, 0.0) + jnp.where(has_up, zu_d / gu, 0.0)
@@ -371,7 +401,7 @@ def build_solver(
 
             # mu-perturbed dual residuals (a: z rows, b: s rows)
             mu_term = -jnp.where(has_lo, mu / gl, 0.0) + jnp.where(has_up, mu / gu, 0.0)
-            a = g_z + J.T @ lam + mu_term[:n]
+            a = g_z + jtv_(lam) + mu_term[:n]
             a = jnp.where(fixed[:n], 0.0, a)
             b = -lam + mu_term[n:]
             b = jnp.where(fixed[n:], 0.0, b)
@@ -382,17 +412,26 @@ def build_solver(
                 sig_s = sigma_s + delta_w                    # Ŝ
                 d = sig_s / (1.0 + delta_c * sig_s)
                 wdiag = sigma_z + delta_w
-                K = H + jnp.diag(wdiag) + (J.T * d) @ J
-                L = _eq_factorize(K)
+                if use_sk:
+                    F = sk.factorize(Jop, Hop, d, wdiag)
+                    solveK = lambda r: sk.fsolve(F, r)
+                    okF = sk.factor_ok(F)
+                    kv = lambda v: hv_(v) + wdiag * v + jtv_(d * jv_(v))
+                else:
+                    K = H + jnp.diag(wdiag) + (J.T * d) @ J
+                    L = _eq_factorize(K)
+                    solveK = lambda r: _eq_solve(L, r)
+                    okF = _eq_ok(L)
+                    kv = lambda v: K @ v
 
                 def csolve(ra, rb, rc):
                     """Solve the delta_c-regularized Newton system
                     [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
                     W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
-                    rhs = ra + J.T @ (d * (rc + rb / sig_s))
-                    dz_ = _eq_solve(L, rhs)
-                    dz_ = dz_ + _eq_solve(L, rhs - K @ dz_)
-                    dlam_ = d * (J @ dz_ - rc - rb / sig_s)
+                    rhs = ra + jtv_(d * (rc + rb / sig_s))
+                    dz_ = solveK(rhs)
+                    dz_ = dz_ + solveK(rhs - kv(dz_))
+                    dlam_ = d * (jv_(dz_) - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
 
@@ -405,12 +444,12 @@ def build_solver(
                 # negative curvature (M PSD ⇒ some eigenvalue of M⁻¹K ≤ 0 ⇒
                 # divergence). A growing refinement residual flags indefinite
                 # K and triggers the δw regularization search.
-                rhs0 = -a - J.T @ (d * (r_p + b / sig_s))
-                dz0 = _eq_solve(L, rhs0)
-                r0 = jnp.max(jnp.abs(rhs0 - K @ dz0))
-                dz1 = dz0 + _eq_solve(L, rhs0 - K @ dz0)
-                dz1 = dz1 + _eq_solve(L, rhs0 - K @ dz1)
-                r_end = jnp.max(jnp.abs(rhs0 - K @ dz1))
+                rhs0 = -a - jtv_(d * (r_p + b / sig_s))
+                dz0 = solveK(rhs0)
+                r0 = jnp.max(jnp.abs(rhs0 - kv(dz0)))
+                dz1 = dz0 + solveK(rhs0 - kv(dz0))
+                dz1 = dz1 + solveK(rhs0 - kv(dz1))
+                r_end = jnp.max(jnp.abs(rhs0 - kv(dz1)))
                 # absolute floor: once the residual is at rounding level
                 # relative to the rhs, "growth" is noise, not indefiniteness.
                 # With f32 factors the refinement contraction rate is coarser
@@ -423,7 +462,7 @@ def build_solver(
                     floor = 1e-5 * (1.0 + jnp.max(jnp.abs(rhs0)))
                     growth = 2.0
                 ok = (
-                    _eq_ok(L)
+                    okF
                     & jnp.all(jnp.isfinite(dz1))
                     & ((r_end <= growth * r0 + 1e-300) | (r_end <= floor))
                 )
@@ -434,10 +473,10 @@ def build_solver(
                 # the condensed factorization as the solver. Removes both the
                 # penalty perturbation on equality rows and rounding error.
                 for _ in range(max(1, opt.max_refine)):
-                    e1 = -a - (H @ dz + wdiag * dz + J.T @ dlam)
+                    e1 = -a - (hv_(dz) + wdiag * dz + jtv_(dlam))
                     e1 = jnp.where(fixed[:n], 0.0, e1)
                     e2 = jnp.where(fixed[n:], 0.0, -b - (sig_s * ds - dlam))
-                    e3 = -r_p - (J @ dz - ds)
+                    e3 = -r_p - (jv_(dz) - ds)
                     cz, cs, clam = csolve(e1, e2, e3)
                     dz = dz + cz
                     ds = ds + cs
@@ -628,7 +667,7 @@ def build_solver(
             )
             slot = jnp.minimum(it, hist["kkt"].shape[0] - 1)
             if opt.record_history:
-                lin_err = jnp.max(jnp.abs(J @ dz - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
+                lin_err = jnp.max(jnp.abs(jv_(dz) - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
                 hist_new = {
                     "kkt": hist["kkt"].at[slot].set(e_0),
                     "mu": hist["mu"].at[slot].set(mu),

@@ -59,6 +59,12 @@ class SolveOptions:
     # force it. The auto threshold is in NLP variables.
     block_kkt: str = "auto"            # "auto" | "on" | "off"
     block_kkt_threshold: int = 700
+    # How the engaged block factorization gets its blocks: "direct" assembles
+    # per-segment (A, B, C) straight from the per-node derivative blocks —
+    # fully matrix-free, O(S·b²) memory, no dense J/H/K (core/kkt_blocks.py);
+    # "dense" keeps the round-1 behavior (dense K materialized, blocks
+    # gathered out of it) for A/B comparison.
+    block_assembly: str = "direct"     # "direct" | "dense"
     # Shape-bucketed recompile-free hp refinement: meshes are rounded up to a
     # uniform per-phase degree bucket and power-of-two segment count
     # (refine.bucket_mesh), and the solver is compiled with the mesh
@@ -312,14 +318,21 @@ def _solver_cache_key(problem: Problem, nlp, options: SolveOptions):
         options.auto_scale, options.variable_scaling,
         options.structured_derivatives,
         options.block_kkt, options.block_kkt_threshold,
+        options.block_assembly,
     )
+
+
+def _block_engaged(nlp, options: SolveOptions) -> bool:
+    if options.block_kkt == "off":
+        return False
+    if options.block_kkt == "auto" and nlp.n < options.block_kkt_threshold:
+        return False
+    return True
 
 
 def _kkt_factorizer(nlp, options: SolveOptions):
     """Build the block-KKT factorizer triple when enabled/beneficial."""
-    if options.block_kkt == "off":
-        return None
-    if options.block_kkt == "auto" and nlp.n < options.block_kkt_threshold:
+    if not _block_engaged(nlp, options):
         return None
     from .block_kkt import make_block_factorizer, make_block_spec
 
@@ -327,6 +340,23 @@ def _kkt_factorizer(nlp, options: SolveOptions):
     if spec is None:
         return None
     return make_block_factorizer(spec)
+
+
+def _kkt_structured(problem: Problem, nlp, options: SolveOptions):
+    """Mesh/scale-parametric StructuredKKT (matrix-free direct block
+    assembly) when the block path engages with block_assembly="direct";
+    callers bind mesh + scales via kkt_blocks.bind_structured_kkt."""
+    if not _block_engaged(nlp, options):
+        return None
+    if options.block_assembly != "direct" or not options.structured_derivatives:
+        return None
+    from .block_kkt import make_block_spec
+    from .kkt_blocks import make_structured_kkt
+
+    spec = make_block_spec(nlp.layout, nlp.ops)
+    if spec is None:
+        return None
+    return make_structured_kkt(problem, nlp.layout, spec)
 
 
 _RT_SOLVER_CACHE: dict = {}
@@ -347,7 +377,7 @@ def _rt_solver_cache_key(problem: Problem, options: SolveOptions):
         fn_ids, dims, tuple((l.left, l.right, l.nlink) for l in problem.linkages),
         options.ipm_options(), options.auto_scale, options.variable_scaling,
         options.structured_derivatives, options.block_kkt,
-        options.block_kkt_threshold,
+        options.block_kkt_threshold, options.block_assembly,
     )
 
 
@@ -396,10 +426,23 @@ def _build_rt_solver(problem: Problem, nlp, options: SolveOptions):
             H = hess_m(z / v, aux["sc"] * lam, _mesh(aux), aux["sf"])
             return H / (v[:, None] * v[None, :])
 
+    sk = _kkt_structured(problem, nlp, options)
+    if sk is not None:
+        from .kkt_blocks import bind_structured_kkt
+
+        def sk_factory(aux):
+            return bind_structured_kkt(
+                sk, _mesh(aux), aux["sf"], aux["sc"], 1.0 / aux["v"]
+            )
+
+        kkt_fact = None
+    else:
+        sk_factory = None
+        kkt_fact = _kkt_factorizer(nlp, options)
     return jax.jit(build_solver(
         obj_aux, con_aux, nlp.n, nlp.m, options.ipm_options(),
         jac_fn=jac_aux, hess_fn=hess_aux,
-        kkt_factorizer=_kkt_factorizer(nlp, options),
+        kkt_factorizer=kkt_fact, structured_kkt=sk_factory,
         takes_aux=True,
     ))
 
@@ -518,10 +561,23 @@ def solve_on_mesh(
         jac_fn = hess_fn = None
         if jac_raw is not None:
             jac_fn, hess_fn = scaled.wrap_structured(jac_raw, hess_raw)
+        sk = _kkt_structured(problem, nlp, options)
+        if sk is not None:
+            from .kkt_blocks import bind_structured_kkt
+            from .transcribe import const_mesh
+
+            bound_sk = bind_structured_kkt(
+                sk, const_mesh(nlp.ops), scaled.obj_scale,
+                scaled.con_scale, 1.0 / scaled.var_scale,
+            )
+            kkt_fact = None
+        else:
+            bound_sk = None
+            kkt_fact = _kkt_factorizer(nlp, options)
         solver = jax.jit(build_solver(
             scaled.objective, scaled.constraints, nlp.n, nlp.m,
             options.ipm_options(), jac_fn=jac_fn, hess_fn=hess_fn,
-            kkt_factorizer=_kkt_factorizer(nlp, options),
+            kkt_factorizer=kkt_fact, structured_kkt=bound_sk,
         ))
         entry = (scaled, solver, problem)
         _SOLVER_CACHE[key] = entry

@@ -113,7 +113,45 @@ def singular_thrust(x):
     return jnp.clip(-b / a, 0.0, T_MAX)
 
 
-def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
+def _shoot_guess(dt: float = 2e-4):
+    """RK4-integrate the bang/singular/coast law (switch at S = 0, end the
+    arc at the fuel limit, coast to apex) for a dynamics-consistent guess.
+    Returns per-phase (t, x) tables. Host numpy; runs in milliseconds."""
+    def f(x, T):
+        h, v, m = x
+        drag = DC * v * v * np.exp(-HC * (h - H0))
+        g = G0 * (H0 / h) ** 2
+        return np.array([v, (T - drag) / m - g, -T / C_EX])
+
+    def rk4(x, T):
+        k1 = f(x, T); k2 = f(x + dt / 2 * k1, T)
+        k3 = f(x + dt / 2 * k2, T); k4 = f(x + dt * k3, T)
+        return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def S(x):
+        return float(singular_surface(jnp.asarray(x)))
+
+    def Ts(x):
+        return float(singular_thrust(jnp.asarray(x)))
+
+    x = np.array([H0, 0.0, M0]); t = 0.0
+    tables = []
+    tr = [(t, *x)]
+    while S(x) > 0:
+        x = rk4(x, T_MAX); t += dt; tr.append((t, *x))
+    tables.append(np.asarray(tr))
+    tr = [(t, *x)]
+    while x[2] > M_FINAL:
+        x = rk4(x, Ts(x)); t += dt; tr.append((t, *x))
+    tables.append(np.asarray(tr))
+    tr = [(t, *x)]
+    while x[1] > 0:
+        x = rk4(x, 0.0); t += dt; tr.append((t, *x))
+    tables.append(np.asarray(tr))
+    return tables
+
+
+def make_problem_three_phase(degrees=((6, 6), (6, 6), (6, 6))) -> Problem:
     """Bang–singular–bang decomposition (the methodology GPOPS-class tools
     use for this problem): phase 1 full thrust until the state reaches the
     singular surface ``S = m g - (1 + v/c) D = 0`` (imposed ONCE, as a
@@ -125,6 +163,23 @@ def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
     automatic time linkage; phase 2 ends at the fuel limit ``m = 0.6``.
     Recovers the published h* ≈ 1.01283 that the single-phase bang-bang local
     optimum (h ≈ 1.0040) misses.
+
+    Three things (diagnosed r2) make this converge in <10 IPM iterations
+    where it previously stalled; use :func:`solve_three_phase` (or
+    :func:`three_phase_options`) to get the matching solver settings:
+
+    * **no state bounds the trajectory rides**: with ``h >= 1`` / ``m >= 0.6``
+      box bounds the whole flight sits within ~1e-6 of a bound without
+      multiplier support, and the log barrier both distorts the problem and
+      blows up the bound duals. The boxes here (h in [0.995, 1.2], v in
+      [-0.05, 0.5], m in [0.55, 1]) enclose the flight envelope loosely; the
+      physical limits are enforced where they bind (terminally).
+    * **tiny interior push** (``kappa_1 = 1e-6``): IPOPT's default 1e-2
+      relative push-off-the-bounds would move the guess by 1e-2 in states
+      whose whole dynamic range is ~1e-3, through a drag term exp(-500(h-1)).
+    * **small condensation penalty** (``delta_c = 1e-8``): the analytic
+      singular thrust carries O(hc²)=O(2.5e5) curvature, so the O(delta_c
+      lam) equality-step perturbation at 1e-6 stalls the dual iteration.
     """
     from ..core.problem import Linkage
 
@@ -137,15 +192,10 @@ def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
 
         return dynamics
 
-    x_lo = np.array([H0, 0.0, M_FINAL])
-    x_hi = np.array([2.0, 0.5, M0])
-    # guesses from a direct RK4 shooting of the bang/singular/coast law
-    # (switch when S crosses zero, stop the arc at the fuel limit): the
-    # velocity RISES along the singular arc here, unlike the naive guess.
-    guess_h = [(1.0, 1.0007), (1.0007, 1.0049), (1.0049, 1.0128)]
-    guess_v = [(0.0, 0.0585), (0.0585, 0.1333), (0.1333, 0.0)]
-    guess_m = [(1.0, 0.8354), (0.8354, 0.6), (0.6, 0.6)]
-    t_knots = [0.0, 0.0235, 0.0727, 0.1989]
+    # loose boxes around the flight envelope (see docstring)
+    x_lo = np.array([0.995, -0.05, 0.55])
+    x_hi = np.array([1.2, 0.5, 1.0])
+    guesses = _shoot_guess()
     dynamics_by_phase = (
         dyn_T(lambda x: T_MAX),
         dyn_T(singular_thrust),
@@ -166,18 +216,18 @@ def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
             )
         if i == 1:
             # fuel limit reached exactly at the end of the singular arc
-            kw.update(xf_bounds=(np.array([H0, 0.0, M_FINAL]),
-                                 np.array([2.0, 0.5, M_FINAL])))
+            kw.update(xf_bounds=(np.array([x_lo[0], x_lo[1], M_FINAL]),
+                                 np.array([x_hi[0], x_hi[1], M_FINAL])))
         if i == 2:
-            kw.update(xf_bounds=(np.array([H0, 0.0, M_FINAL]),
-                                 np.array([2.0, 0.0, M_FINAL])),
+            kw.update(xf_bounds=(np.array([x_lo[0], 0.0, x_lo[2]]),
+                                 np.array([x_hi[0], 0.0, x_hi[2]])),
                       mayer=lambda x0, t0, xf, tf, q: -xf[0])
+        g = guesses[i]
+        idx = np.linspace(0, g.shape[0] - 1, 12).astype(int)
         phases.append(Phase(
             t0_bounds=t0b, tf_bounds=tfb,
             duration_bounds=(0.005, 0.4),
-            guess_t=np.array([t_knots[i], t_knots[i + 1]]),
-            guess_x=np.array([[guess_h[i][0], guess_v[i][0], guess_m[i][0]],
-                              [guess_h[i][1], guess_v[i][1], guess_m[i][1]]]),
+            guess_t=g[idx, 0], guess_x=g[idx, 1:4],
             mesh_degrees=tuple(degrees[i]),
             mesh_fractions=uniform_fractions(len(degrees[i])),
             name=f"goddard-phase-{i + 1}",
@@ -189,6 +239,20 @@ def make_problem_three_phase(degrees=((6, 6), (8, 8), (6, 6))) -> Problem:
         for i in range(2)
     )
     return Problem(phases=tuple(phases), linkages=links, name="goddard-3phase")
+
+
+def three_phase_options(**kw) -> SolveOptions:
+    """Solver settings matched to the 3-phase formulation (see
+    :func:`make_problem_three_phase` docstring for why each knob moves)."""
+    from ..core.ipm import IPMOptions
+
+    ipm = IPMOptions(tol=1e-8, max_iter=200, delta_c=1e-8, kappa_1=1e-6,
+                     mu_strategy="adaptive")
+    return SolveOptions(ipm=ipm, mesh_method="none", **kw)
+
+
+def solve_three_phase(**kw):
+    return _solve(make_problem_three_phase(), three_phase_options(**kw))
 
 
 def solve(options: SolveOptions = None, **kw):

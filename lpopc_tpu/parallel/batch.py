@@ -96,12 +96,25 @@ def make_batch_solver(
             make_structured_jacobian(problem, nlp.layout, nlp.ops),
             make_structured_hessian(problem, nlp.layout, nlp.ops),
         )
-    from ..core.solve import _kkt_factorizer
+    from ..core.solve import _kkt_factorizer, _kkt_structured
 
+    sk = _kkt_structured(problem, nlp, options)
+    if sk is not None:
+        from ..core.kkt_blocks import bind_structured_kkt
+        from ..core.transcribe import const_mesh
+
+        bound_sk = bind_structured_kkt(
+            sk, const_mesh(nlp.ops), scaled.obj_scale,
+            scaled.con_scale, 1.0 / scaled.var_scale,
+        )
+        kkt_fact = None
+    else:
+        bound_sk = None
+        kkt_fact = _kkt_factorizer(nlp, options)
     solver = build_solver(
         scaled.objective, scaled.constraints, nlp.n, nlp.m, options.ipm_options(),
         jac_fn=jac_fn, hess_fn=hess_fn,
-        kkt_factorizer=_kkt_factorizer(nlp, options),
+        kkt_factorizer=kkt_fact, structured_kkt=bound_sk,
     )
     vsolver = jax.vmap(solver)
     if mesh is not None:
