@@ -101,6 +101,12 @@ class IPMOptions:
     # probing: mu tracks sigma * mean complementarity each iteration —
     # reference parity with IPOPT's mu_strategy=adaptive, LpNLPSolver.cpp:28).
     mu_strategy: str = "monotone"
+    # Feasibility restoration (IPOPT-style, invoked on filter deadlock at an
+    # infeasible iterate): Gauss-Newton minimize-||c|| iterations reusing the
+    # same condensed-KKT factorization. False falls back to round-1's soft
+    # re-centering only.
+    restoration: bool = True
+    resto_max_iter: int = 15
 
 
 class IPMResult(NamedTuple):
@@ -175,18 +181,26 @@ def build_solver(
             jnp.all(jnp.isfinite(jnp.diagonal(L))) & (jnp.min(jnp.diagonal(L)) > 0.0)
         )
     elif n <= opt.inverse_threshold:
-        # apply mode: form L^{-1} once (ONE triangular solve with n rhs),
-        # then every solve is K^{-1} b = L^{-T} (L^{-1} b) — two matvecs.
+        # apply mode: form L^{-1} (ONE triangular solve with n rhs) and — in
+        # f64 — K^{-1} = L^{-T} L^{-1} (one matmul) once per factorization, so
+        # every one of the ~9 KKT solves per IPM iteration is a SINGLE matvec
+        # (batched small ops on TPU are op-count-bound, not flop-bound). In
+        # f32 the explicit inverse is measurably less reliable on the
+        # ill-conditioned endgame K's (batch solve rate drops ~20%), so the
+        # f32 factorization keeps the two-triangular-matvec form.
+        _one_matvec = opt.factor_dtype != "f32"
+
         def _factorize(K):
             L = jnp.linalg.cholesky(K)
             Linv = jax.scipy.linalg.solve_triangular(
                 L, jnp.eye(K.shape[-1], dtype=K.dtype), lower=True
             )
-            return L, Linv
+            return L, (Linv.T @ Linv if _one_matvec else Linv)
 
         def _fsolve(F, b):
-            _, Li = F
-            return Li.T @ (Li @ b)
+            if _one_matvec:
+                return F[1] @ b
+            return F[1].T @ (F[1] @ b)
 
         def _factor_ok(F):
             dL = jnp.diagonal(F[0])
@@ -371,7 +385,8 @@ def build_solver(
         def step(state):
             (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
              f_theta, f_phi, f_count, delta_start, gjc, _e0_prev,
-             ls_fails) = state
+             ls_fails, resto_left, theta_entry, resto_strikes) = state
+            in_resto = resto_left > 0
             z = w[:n]
             gl, gu = gaps(w)
             g_z, Jop, c_val = gjc  # carried from the previous convergence check
@@ -405,6 +420,18 @@ def build_solver(
             a = jnp.where(fixed[:n], 0.0, a)
             b = -lam + mu_term[n:]
             b = jnp.where(fixed[n:], 0.0, b)
+            # Feasibility-restoration mode (the reference inherits IPOPT's
+            # restoration phase through OptimizeTNLP, LpNLPSolver.cpp:45).
+            # Entered when the filter deadlocks at an infeasible iterate (see
+            # the `stuck` logic below): the objective gradient and Jᵀλ drop
+            # out of the dual residual, so the Newton system below produces
+            # the barrier-safeguarded generalized Gauss-Newton step for
+            # min ½‖c(z) − s‖² in the W̃ = H + Σ + δI metric — a true
+            # minimize-‖c‖ subproblem REUSING the same condensed KKT
+            # factorization (no second solver). The line search then demands
+            # plain sufficient decrease of θ instead of the filter test.
+            a = jnp.where(in_resto & ~fixed[:n], mu_term[:n], a)
+            b = jnp.where(in_resto & ~fixed[n:], mu_term[n:], b)
 
             delta_c = opt.delta_c
 
@@ -446,21 +473,30 @@ def build_solver(
                 # K and triggers the δw regularization search.
                 rhs0 = -a - jtv_(d * (r_p + b / sig_s))
                 dz0 = solveK(rhs0)
-                r0 = jnp.max(jnp.abs(rhs0 - kv(dz0)))
-                dz1 = dz0 + solveK(rhs0 - kv(dz0))
-                dz1 = dz1 + solveK(rhs0 - kv(dz1))
+                kdz0 = kv(dz0)
+                r0 = jnp.max(jnp.abs(rhs0 - kdz0))
+                dz1 = dz0 + solveK(rhs0 - kdz0)
+                kdz1 = kv(dz1)
+                dz1 = dz1 + solveK(rhs0 - kdz1)
                 r_end = jnp.max(jnp.abs(rhs0 - kv(dz1)))
-                # absolute floor: once the residual is at rounding level
-                # relative to the rhs, "growth" is noise, not indefiniteness.
-                # With f32 factors the refinement contraction rate is coarser
-                # (~cond(EKE) * 2^-24 per round), so both the growth margin
-                # and the floor widen accordingly.
+                # Absolute floor: a backward-stable solve leaves a residual of
+                # order eps * ||K|| ||dz|| (NOT eps * ||rhs||: the two differ by
+                # the cancellation factor ||K|| ||dz|| / ||rhs||), and iterative
+                # refinement stagnates there rather than contracting further.
+                # Below that level the r_end/r0 ratio compares two noise
+                # quantities and "growth" is meaningless — so the floor must
+                # scale with max(||rhs||, ||K dz||). With f32 factors the noise
+                # level is 2^-24-based and the contraction per round is coarser
+                # (~cond(EKE) * 2^-24), so both margins widen.
+                res_scale = 1.0 + jnp.maximum(
+                    jnp.max(jnp.abs(rhs0)), jnp.max(jnp.abs(kdz1))
+                )
                 if _fdt is None:
-                    floor = 1e-9 * (1.0 + jnp.max(jnp.abs(rhs0)))
+                    floor = 1e-9 * res_scale
                     growth = 1.2
                 else:
-                    floor = 1e-5 * (1.0 + jnp.max(jnp.abs(rhs0)))
-                    growth = 2.0
+                    floor = 3e-5 * res_scale
+                    growth = 3.0
                 ok = (
                     okF
                     & jnp.all(jnp.isfinite(dz1))
@@ -483,27 +519,31 @@ def build_solver(
                     dlam = dlam + clam
                 ds = jnp.where(fixed[n:], 0.0, ds)
                 dz = jnp.where(fixed[:n], 0.0, dz)
-                return dz, ds, dlam, ok
+                return dz, ds, dlam, ok, (r0, r_end)
 
             # regularization loop: grow delta_w until the factorization succeeds
             def reg_cond(carry):
-                k, delta_w, _, _, _, ok = carry
+                k, delta_w, _, _, _, ok, _ = carry
                 return (~ok) & (k < opt.max_reg)
 
             def reg_body(carry):
-                k, delta_w, _, _, _, _ = carry
-                dz, ds, dlam, ok = make_step(delta_w)
+                k, delta_w, _, _, _, _, _ = carry
+                dz, ds, dlam, ok, diag = make_step(delta_w)
                 next_delta = jnp.where(
                     delta_w == 0.0,
                     jnp.maximum(opt.delta_w0, delta_last / 3.0),
                     delta_w * 10.0,
                 )
-                return (k + 1, next_delta, dz, ds, dlam, ok)
+                return (k + 1, next_delta, dz, ds, dlam, ok, diag)
 
             zeros_n = jnp.zeros((n,), dtype)
             zeros_m = jnp.zeros((m,), dtype)
-            k0 = (0, delta_start, zeros_n, zeros_m, zeros_m, jnp.asarray(False))
-            k, delta_next, dz, ds, dlam, ok = jax.lax.while_loop(reg_cond, reg_body, k0)
+            zero_ = jnp.zeros((), dtype)
+            k0 = (0, delta_start, zeros_n, zeros_m, zeros_m, jnp.asarray(False),
+                  (zero_, zero_))
+            k, delta_next, dz, ds, dlam, ok, reg_diag = jax.lax.while_loop(
+                reg_cond, reg_body, k0
+            )
             delta_used = jnp.where(
                 k > 1, delta_next / 10.0, delta_start
             )
@@ -529,6 +569,26 @@ def build_solver(
             # merit function would reject everything (Maratos-type stalls).
             phi0 = barrier_phi(w, mu)
             th0 = theta(w)
+
+            def barrier_only(w_):
+                gl_, gu_ = gaps(w_)
+                return -mu * (
+                    jnp.sum(jnp.where(has_lo, jnp.log(gl_), 0.0))
+                    + jnp.sum(jnp.where(has_up, jnp.log(gu_), 0.0))
+                )
+
+            # Restoration merit phi_R = 1/2||c - s||^2_D + barrier, with D the
+            # condensation weights actually used in the step (d ~ 1/delta_c on
+            # equality rows): this is the objective whose Gauss-Newton step
+            # the restoration direction IS, so its Armijo test must use the
+            # same weights — an unweighted theta test can be opposed by the
+            # barrier pull-in near bounds and rejects legitimate steps.
+            sig_used = sigma_s + delta_used
+            d_used = sig_used / (1.0 + delta_c * sig_used)
+            phi_r0 = 0.5 * jnp.sum(d_used * r_p * r_p) + barrier_only(w)
+            dphi_r = jnp.dot(d_used * r_p, jv_(dz) - ds) + jnp.dot(
+                jnp.where(fixed, 0.0, mu_term), dw
+            )
             gl_safe = jnp.where(has_lo, gl, 1.0)
             gu_safe = jnp.where(has_up, gu, 1.0)
             grad_phi = (
@@ -559,13 +619,20 @@ def build_solver(
                 )
                 use_armijo = (th0 <= theta_min) & switching
                 acceptable = jnp.where(use_armijo, armijo, progress)
-                return (
-                    finite
-                    & (th_t <= theta_max)
-                    & ~dominated
-                    & acceptable,
-                    use_armijo & armijo,
+                # restoration mode: Armijo on the restoration merit phi_R
+                rp_t = constraints(w_t[:n]) - w_t[n:]
+                phi_r_t = 0.5 * jnp.sum(d_used * rp_t * rp_t) + barrier_only(w_t)
+                resto_ok = (
+                    jnp.isfinite(phi_r_t)
+                    & (dphi_r < 0.0)   # non-descent direction: force reg bump
+                    & (phi_r_t <= phi_r0 + opt.eta_phi * alpha * dphi_r)
                 )
+                acc = jnp.where(
+                    in_resto,
+                    resto_ok,
+                    finite & (th_t <= theta_max) & ~dominated & acceptable,
+                )
+                return acc, (~in_resto) & use_armijo & armijo
 
             def ls_cond(carry):
                 j, alpha, accepted, _ = carry
@@ -584,7 +651,7 @@ def build_solver(
 
             # filter augmentation: whenever acceptance did not come from the
             # Armijo case, block this (theta, phi) region from future returns
-            augment = accepted & ~armijo_case
+            augment = accepted & ~armijo_case & ~in_resto
             slot_f = jnp.minimum(f_count, n_filter - 1)
             f_theta = jnp.where(
                 augment,
@@ -599,7 +666,9 @@ def build_solver(
             f_count = jnp.where(augment, f_count + 1, f_count)
 
             w_new = w + alpha * dw
-            lam_new = lam + alpha * dlam
+            # restoration leaves the original problem's equality duals alone
+            # (its dlam solves the feasibility system, not the KKT system)
+            lam_new = jnp.where(in_resto, lam, lam + alpha * dlam)
             zl_new = zl_d + alpha_dual * dzl_d
             zu_new = zu_d + alpha_dual * dzu_d
 
@@ -679,6 +748,9 @@ def build_solver(
                     "lin_err": hist["lin_err"].at[slot].set(lin_err),
                     "dphi": hist["dphi"].at[slot].set(dphi),
                     "step_inf": hist["step_inf"].at[slot].set(jnp.max(jnp.abs(dw))),
+                    "reg_k": hist["reg_k"].at[slot].set(k),
+                    "r0": hist["r0"].at[slot].set(reg_diag[0]),
+                    "r_end": hist["r_end"].at[slot].set(reg_diag[1]),
                 }
             else:
                 hist_new = hist
@@ -690,12 +762,21 @@ def build_solver(
                 jnp.zeros((), dtype),
                 jnp.maximum(opt.delta_w0, 10.0 * delta_used),
             )
-            # Soft restoration: repeated line-search failures (high boosted
+            # Deadlock handling. Repeated line-search failures (high boosted
             # regularization OR a streak of rejected searches) mean the filter
-            # has deadlocked (IPOPT would enter its restoration phase here).
-            # Re-center instead: clear the filter, reset the bound duals onto
-            # the central path, raise mu, and drop the regularization.
+            # has deadlocked. IPOPT enters its restoration phase here; so do
+            # we, when the iterate is meaningfully INFEASIBLE: switch to
+            # restoration mode (pure feasibility Gauss-Newton steps, see the
+            # `in_resto` branches above) for up to `resto_max` iterations,
+            # exiting early once theta has dropped by 10x. When the deadlock
+            # happens while already (near-)feasible, restoration has nothing
+            # to minimize — fall back to the soft re-centering (clear the
+            # filter, reset the bound duals onto the central path, raise mu,
+            # drop the regularization).
             # a "real" step moves: micro-alpha acceptances count as failures
+            resto_max = jnp.asarray(
+                opt.resto_max_iter if opt.restoration else 0, jnp.int32
+            )
             real_step = accepted & (alpha >= 1e-3 * alpha_max)
             ls_fails = jnp.where(real_step, 0, ls_fails + 1)
             stuck = (~real_step) & (
@@ -703,20 +784,60 @@ def build_solver(
                 | (ls_fails >= 8)
             )
             ls_fails = jnp.where(stuck, 0, ls_fails)
+            th_new = theta(w_new)
+            # restoration exit: target met, iteration cap, or stuck inside it
+            resto_target = jnp.maximum(0.1 * theta_entry, 0.01 * theta_min)
+            exit_resto = in_resto & (
+                (th_new <= resto_target) | (resto_left <= 1) | stuck
+            )
+            resto_next = jnp.where(
+                exit_resto, 0, jnp.maximum(resto_left - 1, 0)
+            )
+            # Two consecutive unproductive restoration episodes (< 2x theta
+            # reduction each) mean the iterate sits at an infeasible local
+            # minimizer of ||c|| — IPOPT's "restoration phase failed" outcome.
+            # Flag the instance FAILED instead of wandering.
+            episode_failed = exit_resto & (th_new > 0.5 * theta_entry)
+            resto_strikes = jnp.where(
+                episode_failed, resto_strikes + 1,
+                jnp.where(exit_resto, 0, resto_strikes),
+            )
+            status_new = jnp.where(
+                (resto_strikes >= 2) & (status_new == RUNNING)
+                & (th_new > 10.0 * theta_min),
+                FAILED, status_new,
+            )
+            # restoration entry (only from normal mode, only if infeasible)
+            enter_resto = (
+                stuck & (~in_resto) & (th_new > 10.0 * theta_min)
+                & jnp.asarray(opt.restoration)
+            )
+            resto_next = jnp.where(enter_resto, resto_max, resto_next)
+            theta_entry = jnp.where(enter_resto, th_new, theta_entry)
+            soft_restore = stuck & (~enter_resto) & (~in_resto)
+            # during restoration mu is frozen (e_mu measures the original
+            # problem and must not drive the barrier schedule)
+            mu_next = jnp.where(in_resto & ~exit_resto, mu, mu_next)
             gl_n, gu_n = gaps(w_new)
             mu_next = jnp.where(
-                stuck, jnp.maximum(mu, jnp.asarray(opt.mu_restore, dtype)), mu_next
+                soft_restore,
+                jnp.maximum(mu, jnp.asarray(opt.mu_restore, dtype)), mu_next,
             )
-            f_count = jnp.where(stuck, 0, f_count)
-            zl_new = jnp.where(stuck & has_lo, mu_next / gl_n, zl_new)
-            zu_new = jnp.where(stuck & has_up, mu_next / gu_n, zu_new)
+            # the filter is cleared when entering restoration / soft-restoring
+            # but NOT on restoration exit: the pre-entry filter still stands,
+            # so the post-restoration iterate must be acceptable to it
+            # (IPOPT's re-entry condition) — clearing it on exit lets a
+            # freshly-unfiltered step undo the feasibility gain at once.
+            f_count = jnp.where(soft_restore | enter_resto, 0, f_count)
+            zl_new = jnp.where(soft_restore & has_lo, mu_next / gl_n, zl_new)
+            zu_new = jnp.where(soft_restore & has_up, mu_next / gu_n, zu_new)
             delta_start_next = jnp.where(
                 stuck, jnp.zeros((), dtype),
                 jnp.minimum(delta_start_next, opt.delta_w_max),
             )
             return (w_new, lam_new, zl_new, zu_new, mu_next, delta_used, it + 1,
                     status_new, hist_new, f_theta, f_phi, f_count, delta_start_next,
-                    gjc_new, e_0, ls_fails)
+                    gjc_new, e_0, ls_fails, resto_next, theta_entry, resto_strikes)
 
         def loop_cond(state):
             return state[7] == RUNNING
@@ -725,9 +846,10 @@ def build_solver(
         hist0 = {
             k: jnp.zeros((slots,), dtype)
             for k in ("kkt", "mu", "alpha", "alpha_max", "delta_w", "theta",
-                      "lin_err", "dphi", "step_inf")
+                      "lin_err", "dphi", "step_inf", "r0", "r_end")
         }
         hist0["ls_iters"] = jnp.zeros((slots,), jnp.int32)
+        hist0["reg_k"] = jnp.zeros((slots,), jnp.int32)
         parts0, gjc0 = kkt_error_parts(w0, lam0, zl_d0, zu_d0)
         e0_init = error_from_parts(parts0, jnp.zeros((), dtype))
         state0 = (
@@ -743,9 +865,14 @@ def build_solver(
             gjc0,                                           # carried g/J/c
             e0_init,                                        # carried E_0
             jnp.asarray(0, jnp.int32),                      # ls failure streak
+            jnp.asarray(0, jnp.int32),                      # restoration budget
+            jnp.zeros((), dtype),                           # theta at resto entry
+            jnp.asarray(0, jnp.int32),                      # failed-episode strikes
         )
         (w, lam, zl_d, zu_d, mu, delta_last, it, status, hist,
-         _, _, _, _, _, e_final, _) = jax.lax.while_loop(loop_cond, step, state0)
+         _, _, _, _, _, e_final, _, _, _, _) = jax.lax.while_loop(
+            loop_cond, step, state0
+        )
         return IPMResult(
             z=w[:n], s=w[n:], lam=lam, zl_dual=zl_d, zu_dual=zu_d,
             status=status, iterations=it,

