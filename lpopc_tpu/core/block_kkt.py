@@ -130,22 +130,34 @@ def make_block_spec(layout: Layout, ops) -> BlockKKTSpec | None:
 
 
 class BlockFactor(NamedTuple):
-    L: jnp.ndarray       # (S, b, b) block Cholesky factors
+    L: jnp.ndarray       # (S, b, b) block Cholesky factors (inertia check)
     W: jnp.ndarray       # (S, b, nb) A_s^{-1} B_sᵀ
-    Ls: jnp.ndarray      # (nb, nb) border Schur Cholesky factor
+    Ls: jnp.ndarray      # (nb, nb) border Schur Cholesky factor (inertia check)
     B: jnp.ndarray       # (S, nb, b) border-interior coupling
+    Ainv: jnp.ndarray    # (S, b, b) explicit interior-block inverses
+    Sinv: jnp.ndarray    # (nb, nb) explicit Schur inverse
 
 
 def factor_from_blocks(A, B, C) -> BlockFactor:
     """Block Cholesky + border Schur from already-assembled blocks:
     ``A`` (S, b, b) interior (padded slots must carry identity), ``B``
     (S, nb, b) border-interior coupling (padded slots zero), ``C`` (nb, nb)
-    border block."""
-    L = jnp.linalg.cholesky(A)
-    W = jax.scipy.linalg.cho_solve((L, True), jnp.swapaxes(B, 1, 2))  # (S, b, nb)
+    border block.
+
+    Uses the statically-unrolled blocked factorization (ops/blocked_chol) and
+    stores explicit inverses so every downstream solve is a batched matvec:
+    XLA's cholesky/triangular_solve lower to O(n)-step sequential while loops
+    on TPU (~100 us/step at these shapes — the dominant cost in the round-1
+    profile), while this path is pure batched matmuls."""
+    from ..ops.blocked_chol import chol_and_inverse
+
+    L, Li = chol_and_inverse(A)
+    Ainv = jnp.swapaxes(Li, -1, -2) @ Li
+    W = Ainv @ jnp.swapaxes(B, 1, 2)                    # (S, b, nb)
     Schur = C - jnp.einsum("snb,sbm->nm", B, W)
-    Ls = jnp.linalg.cholesky(Schur)
-    return BlockFactor(L=L, W=W, Ls=Ls, B=B)
+    Ls, Lsi = chol_and_inverse(Schur)
+    Sinv = Lsi.T @ Lsi
+    return BlockFactor(L=L, W=W, Ls=Ls, B=B, Ainv=Ainv, Sinv=Sinv)
 
 
 def make_block_factorizer(spec: BlockKKTSpec):
@@ -171,9 +183,9 @@ def make_block_factorizer(spec: BlockKKTSpec):
 
     def solve(F, r):
         r_int = jnp.where(mask, r[ii], 0.0)             # (S, b)
-        y = jax.scipy.linalg.cho_solve((F.L, True), r_int[..., None])[..., 0]
+        y = jnp.einsum("sij,sj->si", F.Ainv, r_int)
         rhs_b = r[bi] - jnp.einsum("snb,sb->n", F.B, y)
-        xb = jax.scipy.linalg.cho_solve((F.Ls, True), rhs_b)
+        xb = F.Sinv @ rhs_b
         xi = jnp.where(mask, y - jnp.einsum("sbn,n->sb", F.W, xb), 0.0)
         out = jnp.zeros_like(r).at[bi].set(xb)
         return out.at[ii.ravel()].add(xi.ravel())       # pad adds 0 at index 0

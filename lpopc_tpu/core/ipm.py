@@ -191,10 +191,12 @@ def build_solver(
         _one_matvec = opt.factor_dtype != "f32"
 
         def _factorize(K):
-            L = jnp.linalg.cholesky(K)
-            Linv = jax.scipy.linalg.solve_triangular(
-                L, jnp.eye(K.shape[-1], dtype=K.dtype), lower=True
-            )
+            # blocked recursive factorization: O(log n) batched matmuls
+            # instead of XLA's O(n)-step sequential while loops — measured
+            # 85% of IPM iteration time under vmap on TPU (ops/blocked_chol).
+            from ..ops.blocked_chol import chol_and_inverse
+
+            L, Linv = chol_and_inverse(K)
             return L, (Linv.T @ Linv if _one_matvec else Linv)
 
         def _fsolve(F, b):

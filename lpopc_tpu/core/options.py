@@ -41,6 +41,8 @@ REGISTRY: tuple[OptionSpec, ...] = (
                doc="automatic gradient-based problem scaling (reference: Betts autoscale, off by default; here on)"),
     OptionSpec("variable_scaling", "variable-scale", bool, False,
                doc="Betts bounds-based variable scaling"),
+    OptionSpec("scale_samples", "scale-samples", int, 0, 0, 1000,
+               doc="random sample count for scaling row norms (reference uses 90, LpSacleOCP.cpp; 0 = scale at the guess)"),
     OptionSpec("mesh_method", "mesh-refine-methods", str, "ph",
                choices=("ph", "hp-liu", "none"),
                doc="hp refinement strategy (reference: ph | hp-Liu)"),
@@ -67,9 +69,12 @@ REGISTRY: tuple[OptionSpec, ...] = (
                doc="segment-block + border-Schur KKT factorization (core/block_kkt.py)"),
     OptionSpec("block_kkt_threshold", "block-kkt-threshold", int, 700, 1, 10**9,
                doc="NLP size above which block-kkt=auto engages"),
-    OptionSpec("mesh_bucketing", "mesh-bucketing", str, "off",
+    OptionSpec("mesh_bucketing", "mesh-bucketing", str, "on",
                choices=("on", "off"),
-               doc="shape-bucketed recompile-free hp refinement (runtime-mesh solver)"),
+               doc="shape-bucketed recompile-free hp refinement (runtime-mesh solver); default on since round 2"),
+    OptionSpec("block_assembly", "block-assembly", str, "direct",
+               choices=("direct", "dense"),
+               doc="matrix-free per-segment KKT assembly vs dense-then-gather"),
     OptionSpec("verbose", "print-level", bool, False, doc="per-grid logging"),
 )
 

@@ -101,11 +101,22 @@ def scale_nlp(
     enabled: bool = True,
     variable_scaling: bool = False,
     jac_fn: Callable = None,
+    samples: int = 0,
+    sample_radius: float = 0.25,
+    seed: int = 0,
 ) -> ScaledNLP:
     """``jac_fn(z) -> (m, n)`` overrides the global ``jax.jacfwd`` used for
     the row norms with the structure-exploiting per-node assembly
     (:mod:`.structured`) — same values, far cheaper trace/compile on big
-    meshes (no m-direction forward sweep through the whole transcription)."""
+    meshes (no m-direction forward sweep through the whole transcription).
+
+    ``samples > 0`` averages the gradient/row norms over that many random
+    points around z0 in addition to z0 itself — the reference's
+    random-sample row-norm estimate (``LpSacleOCP.cpp:138-341``, 90 samples
+    uniform in the bounds; here a bounded cloud of relative radius
+    ``sample_radius`` around the guess, which keeps samples in the region
+    the solve actually visits). Guards against a pathological z0 producing
+    pathological scales; 0 (default) scales at z0 only."""
     n = z0.shape[0]
     m = cl.shape[0]
     if not enabled:
@@ -121,13 +132,24 @@ def scale_nlp(
         )
         v = 1.0 / span
     z0j = jnp.asarray(z0)
-    g0 = np.asarray(jax.grad(objective)(z0j))
+    _grad = jax.jit(jax.grad(objective))
+    _jac = None
+    if m > 0:
+        _jac = jax.jit(jac_fn) if jac_fn is not None else jax.jit(jax.jacfwd(constraints))
+    pts = [z0j]
+    if samples > 0:
+        rng = np.random.default_rng(seed)
+        scale_ref = np.maximum(1.0, np.abs(z0))
+        lo = np.where(zl > -INF, zl, -np.inf)
+        hi = np.where(zu < INF, zu, np.inf)
+        for _ in range(samples):
+            p = z0 + sample_radius * scale_ref * rng.uniform(-1, 1, n)
+            pts.append(jnp.asarray(np.clip(p, lo, hi)))
+    g0 = np.mean([np.abs(np.asarray(_grad(p))) for p in pts], axis=0)
     if m == 0:
         J0 = np.zeros((0, n))
-    elif jac_fn is not None:
-        J0 = np.asarray(jac_fn(z0j))
     else:
-        J0 = np.asarray(jax.jacfwd(constraints)(z0j))
+        J0 = np.mean([np.abs(np.asarray(_jac(p))) for p in pts], axis=0)
     # gradients w.r.t. scaled variables pick up a 1/v factor
     g_inf = np.max(np.abs(g0 / v)) if n else 0.0
     sf = float(min(1.0, g_max / g_inf)) if g_inf > 0 else 1.0

@@ -52,6 +52,10 @@ class SolveOptions:
     max_iterations: int = 300
     auto_scale: bool = True
     variable_scaling: bool = False
+    # >0: average scaling row norms over this many random points around the
+    # guess (the reference's 90-random-sample Betts autoscale variant,
+    # LpSacleOCP.cpp:138-341); 0 scales at the guess only.
+    scale_samples: int = 0
     structured_derivatives: bool = True
     # Condensed-KKT factorization: "auto" switches from dense Cholesky to the
     # segment-block + border-Schur factorization (core/block_kkt.py) once the
@@ -71,8 +75,9 @@ class SolveOptions:
     # FRACTIONS as runtime inputs — so the whole refinement loop reuses a
     # handful of compiled solvers instead of recompiling per grid (a
     # 60-120 s XLA compile per mesh otherwise dominates single-problem
-    # wall-clock on TPU).
-    mesh_bucketing: str = "off"        # "on" | "off"
+    # wall-clock on TPU). Default ON since round 2 (validated under ph,
+    # hp-Liu, and the multi-phase launch); "off" restores per-grid shapes.
+    mesh_bucketing: str = "on"         # "on" | "off"
     mesh_method: str = "ph"            # "ph" | "hp-liu" | "none"
     max_grid_num: int = 10
     desired_relative_error: float = 1e-6
@@ -464,6 +469,7 @@ def _solve_on_mesh_rt(
         enabled=options.auto_scale,
         variable_scaling=options.variable_scaling,
         jac_fn=jac_scale,
+        samples=options.scale_samples,
     )
     key = _rt_solver_cache_key(problem, options)
     entry = _RT_SOLVER_CACHE.get(key)
@@ -557,6 +563,7 @@ def solve_on_mesh(
             enabled=options.auto_scale,
             variable_scaling=options.variable_scaling,
             jac_fn=jac_raw,
+            samples=options.scale_samples,
         )
         jac_fn = hess_fn = None
         if jac_raw is not None:

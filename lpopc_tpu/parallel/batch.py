@@ -126,6 +126,7 @@ def make_batch_solver(
     scaled = scale_nlp(
         nlp.objective, nlp.constraints, nlp.zl, nlp.zu, nlp.cl, nlp.cu, nlp.z0,
         enabled=options.auto_scale, variable_scaling=options.variable_scaling,
+        samples=options.scale_samples,
     )
     jac_fn = hess_fn = None
     if getattr(options, "structured_derivatives", True):
