@@ -453,16 +453,27 @@ def build_solver(
                     okF = _eq_ok(L)
                     kv = lambda v: K @ v
 
-                def csolve(ra, rb, rc):
-                    """Solve the delta_c-regularized Newton system
-                    [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
-                    W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc."""
-                    rhs = ra + jtv_(d * (rc + rb / sig_s))
-                    dz_ = solveK(rhs)
-                    dz_ = dz_ + solveK(rhs - kv(dz_))
+                def finish(dz_, rb, rc):
+                    """Back out (ds, dlam) from a condensed solution dz_."""
                     dlam_ = d * (jv_(dz_) - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
+
+                def csolve(ra, rb, rc):
+                    """Solve the delta_c-regularized Newton system
+                    [W̃ Jᵀ; J -(Ŝ⁻¹+δc)]-style for a general rhs (ra, rb, rc):
+                    W̃dz + Jᵀdλ = ra;  Ŝds - dλ = rb;  Jdz - ds - δc dλ = rc.
+                    Used only for the CORRECTION step of the full-KKT
+                    refinement, where the rhs is already a small residual:
+                    in f64 one unrefined solve suffices (every f64 dot at
+                    these shapes lowers to ~32 bf16 limb passes on TPU — op
+                    count is the budget); f32 factors keep one inner
+                    refinement round to hold the stage-1 step quality."""
+                    rhs = ra + jtv_(d * (rc + rb / sig_s))
+                    dz_ = solveK(rhs)
+                    if _fdt is not None:
+                        dz_ = dz_ + solveK(rhs - kv(dz_))
+                    return finish(dz_, rb, rc)
 
                 # Indefiniteness detection. XLA's Cholesky (unlike LAPACK) can
                 # complete WITHOUT NaNs on an indefinite matrix, silently
@@ -472,15 +483,19 @@ def build_solver(
                 # iff ρ(I - M⁻¹K) < 1, which fails whenever K has meaningful
                 # negative curvature (M PSD ⇒ some eigenvalue of M⁻¹K ≤ 0 ⇒
                 # divergence). A growing refinement residual flags indefinite
-                # K and triggers the δw regularization search.
+                # K and triggers the δw regularization search. The SAME solve
+                # chain is the main Newton step: its rhs0 is exactly the
+                # csolve(-a, -b, -r_p) condensed rhs, so the twice-refined dz1
+                # is both the inertia probe and the step (one shared chain —
+                # 3 solves + 3 K-applies instead of the naive 5 + 4).
                 rhs0 = -a - jtv_(d * (r_p + b / sig_s))
                 dz0 = solveK(rhs0)
                 kdz0 = kv(dz0)
                 r0 = jnp.max(jnp.abs(rhs0 - kdz0))
                 dz1 = dz0 + solveK(rhs0 - kdz0)
                 kdz1 = kv(dz1)
+                r_end = jnp.max(jnp.abs(rhs0 - kdz1))
                 dz1 = dz1 + solveK(rhs0 - kdz1)
-                r_end = jnp.max(jnp.abs(rhs0 - kv(dz1)))
                 # Absolute floor: a backward-stable solve leaves a residual of
                 # order eps * ||K|| ||dz|| (NOT eps * ||rhs||: the two differ by
                 # the cancellation factor ||K|| ||dz|| / ||rhs||), and iterative
@@ -505,7 +520,7 @@ def build_solver(
                     & ((r_end <= growth * r0 + 1e-300) | (r_end <= floor))
                 )
 
-                dz, ds, dlam = csolve(-a, -b, -r_p)
+                dz, ds, dlam = finish(dz1, -b, -r_p)
                 # Full-KKT iterative refinement: correct the step against the
                 # TRUE Newton system (no delta_c on the constraint row), using
                 # the condensed factorization as the solver. Removes both the
