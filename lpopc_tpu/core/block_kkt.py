@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .transcribe import Layout
+from ..parallel.segment import seg_constrain, seg_replicated
 
 
 @dataclass(frozen=True)
@@ -151,12 +152,19 @@ def factor_from_blocks(A, B, C) -> BlockFactor:
     profile), while this path is pure batched matmuls."""
     from ..ops.blocked_chol import chol_and_inverse
 
+    # Segment-axis sharding seam (parallel/segment.py): when a policy is
+    # active these constraints shard the leading S axis over the device mesh;
+    # everything between them is per-segment batched math that GSPMD
+    # partitions locally, and the Schur einsum below becomes a partial sum +
+    # ONE all-reduce over ICI. No-ops on the single-chip path.
+    A, B = seg_constrain(A), seg_constrain(B)
     L, Li = chol_and_inverse(A)
-    Ainv = jnp.swapaxes(Li, -1, -2) @ Li
-    W = Ainv @ jnp.swapaxes(B, 1, 2)                    # (S, b, nb)
-    Schur = C - jnp.einsum("snb,sbm->nm", B, W)
+    L, Li = seg_constrain(L), seg_constrain(Li)
+    Ainv = seg_constrain(jnp.swapaxes(Li, -1, -2) @ Li)
+    W = seg_constrain(Ainv @ jnp.swapaxes(B, 1, 2))     # (S, b, nb)
+    Schur = seg_replicated(C - jnp.einsum("snb,sbm->nm", B, W))
     Ls, Lsi = chol_and_inverse(Schur)
-    Sinv = Lsi.T @ Lsi
+    Sinv = seg_replicated(Lsi.T @ Lsi)
     return BlockFactor(L=L, W=W, Ls=Ls, B=B, Ainv=Ainv, Sinv=Sinv)
 
 
@@ -182,10 +190,10 @@ def make_block_factorizer(spec: BlockKKTSpec):
         return factor_from_blocks(A, B, C)
 
     def solve(F, r):
-        r_int = jnp.where(mask, r[ii], 0.0)             # (S, b)
-        y = jnp.einsum("sij,sj->si", F.Ainv, r_int)
-        rhs_b = r[bi] - jnp.einsum("snb,sb->n", F.B, y)
-        xb = F.Sinv @ rhs_b
+        r_int = seg_constrain(jnp.where(mask, r[ii], 0.0))   # (S, b)
+        y = seg_constrain(jnp.einsum("sij,sj->si", F.Ainv, r_int))
+        rhs_b = r[bi] - jnp.einsum("snb,sb->n", F.B, y)      # psum over segs
+        xb = seg_replicated(F.Sinv @ rhs_b)
         xi = jnp.where(mask, y - jnp.einsum("sbn,n->sb", F.W, xb), 0.0)
         out = jnp.zeros_like(r).at[bi].set(xb)
         return out.at[ii.ravel()].add(xi.ravel())       # pad adds 0 at index 0

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .block_kkt import BlockKKTSpec, factor_from_blocks, make_block_factorizer
+from ..parallel.segment import seg_constrain
 from .problem import Problem
 from .structured import (
     _endpoint_indices,
@@ -384,7 +385,9 @@ def make_structured_kkt(problem: Problem, layout: Layout, spec: BlockKKTSpec) ->
                 * vinv_x[mp.xpt_of][:, None, :, :]
             )
             sidx = jnp.arange(S)[:, None, None, None]
-            Jloc = jnp.zeros((S, degmax * (nx + npath), bl), dtype)
+            # per-segment local stiffness assembly: sharded along S when a
+            # segment-sharding policy is active (parallel/segment.py)
+            Jloc = seg_constrain(jnp.zeros((S, degmax * (nx + npath), bl), dtype))
             rowsD = (
                 jnp.arange(degmax)[None, :, None, None] * nx
                 + jnp.arange(nx)[None, None, None, :]
@@ -415,7 +418,7 @@ def make_structured_kkt(problem: Problem, layout: Layout, spec: BlockKKTSpec) ->
                 dloc = jnp.concatenate([dloc_def, dloc_p], axis=1)
             else:
                 dloc = dloc_def
-            Kloc = jnp.einsum("srb,sr,src->sbc", Jloc, dloc, Jloc)
+            Kloc = seg_constrain(jnp.einsum("srb,sr,src->sbc", Jloc, dloc, Jloc))
             sidx3 = jnp.arange(S)[:, None, None, None]
             Kloc = Kloc.at[
                 sidx3, mp.nloc[:, :, :, None], mp.nloc[:, :, None, :]

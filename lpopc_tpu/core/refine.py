@@ -94,6 +94,16 @@ def estimate_errors(problem: Problem, sol: Solution) -> list:
 DEGREE_BUCKETS = (4, 8, 16, 24, 32, 48, 64)
 
 
+def bucket_degree(d: int, n_max: int = 64) -> int:
+    """The uniform bucket degree a mesh with max degree ``d`` is padded to."""
+    return next((b for b in DEGREE_BUCKETS if b >= d and b <= max(n_max, d)), d)
+
+
+def pad_count(S: int) -> int:
+    """The power-of-two segment count a mesh with ``S`` segments is padded to."""
+    return 1 << (S - 1).bit_length() if S > 1 else 1
+
+
 def bucket_mesh(
     degrees: tuple, fractions: tuple, n_max: int = 64
 ) -> tuple[tuple, tuple]:
@@ -110,11 +120,8 @@ def bucket_mesh(
     36-45``); on TPU the equivalent cost is XLA recompilation — this is the
     mitigation SURVEY.md §7 calls "shape bucketing/padding".
     """
-    dmax = max(degrees)
-    deg = next((b for b in DEGREE_BUCKETS if b >= dmax and b <= max(n_max, dmax)),
-               dmax)
-    S = len(degrees)
-    S_b = 1 << (S - 1).bit_length() if S > 1 else 1
+    deg = bucket_degree(max(degrees), n_max)
+    S_b = pad_count(len(degrees))
     fr = list(fractions)
     while len(fr) - 1 < S_b:
         widths = np.diff(fr)

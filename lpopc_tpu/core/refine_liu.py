@@ -102,10 +102,32 @@ def liu_refine_phase(
     n_min: int,
     n_max: int,
     curvature_ratio: float = 1.2,
+    bucket_aware: bool = False,
 ) -> tuple[tuple, tuple, bool]:
+    """One hp-Liu pass for a phase.
+
+    ``bucket_aware=True`` (used when the solver runs with
+    ``mesh_bucketing="on"``) teaches the four operations the bucketed shape
+    signature they actually produce (``refine.bucket_mesh`` pads all degrees
+    to one bucket value and the segment count to a power of two):
+
+    * degree *reductions* are kept only when they lower the phase-wide
+      bucket degree — otherwise they are invisible after padding but churn
+      the mesh history;
+    * *merges* are committed only when they drop the padded (power-of-two)
+      segment count — a merge inside the same pad bucket just makes
+      ``bucket_mesh`` re-bisect the widest interval, which can undo the
+      merge and oscillate indefinitely;
+    * *increase-N* that would push the phase into a higher degree bucket is
+      costed against dividing (padded cost model: S_pad · bucket(N)³ per
+      factorization, the batched-Cholesky work) and the cheaper target wins.
+    """
     degrees = tuple(psol.mesh_degrees)
     fractions = tuple(psol.mesh_fractions)
     taus, x_fine = _sample_solution(psol)
+    if bucket_aware:
+        from .refine import bucket_degree, pad_count
+    cur_bucket = None if not bucket_aware else bucket_degree(max(degrees), n_max)
 
     def prev_curvature(a, b):
         if state.prev_tau_fine is None:
@@ -127,6 +149,7 @@ def liu_refine_phase(
     ok = True
     off = 0
     satisfied_flags = []
+    reductions: list = []  # (index in new_deg, original degree)
     for k, nk in enumerate(degrees):
         a, b = fractions[k], fractions[k + 1]
         e = float(errs[k])
@@ -135,6 +158,7 @@ def liu_refine_phase(
             nd = nk
             if nk > n_min and _legendre_tail_negligible(psol, k, off, nk, tol):
                 nd = max(n_min, nk - 2)
+                reductions.append((len(new_deg), nk))
             new_deg.append(nd)
             new_frac.append(b)
             off += nk
@@ -153,14 +177,7 @@ def liu_refine_phase(
             q = min(max(q, 3.0), 30.0)
         else:
             q = max(3.0, 0.8 * nk)
-        if smooth:
-            n_next = math.ceil(nk * (e / tol) ** (1.0 / max(q - 2.5, 0.5)))
-            if n_next <= n_max:
-                new_deg.append(max(n_next, nk + 1))
-                new_frac.append(b)
-                off += nk
-                continue
-        # divide
+        # divide target (shared by the h-branch and the bucket cost model)
         B = max(
             2,
             min(
@@ -169,11 +186,37 @@ def liu_refine_phase(
             ),
         )
         B = min(B, 8)
+        if smooth:
+            n_next = math.ceil(nk * (e / tol) ** (1.0 / max(q - 2.5, 0.5)))
+            take_increase = n_next <= n_max
+            if take_increase and bucket_aware:
+                nb_inc = bucket_degree(max(n_next, max(degrees)), n_max)
+                if nb_inc > cur_bucket:
+                    # this p-step forces a phase-wide bucket jump: cost it
+                    # against the h-step under the padded shape signature
+                    # (factorization work ~ S_pad * deg_bucket^3)
+                    S0 = len(degrees)
+                    cost_inc = pad_count(S0) * nb_inc**3
+                    cost_div = pad_count(S0 + B - 1) * cur_bucket**3
+                    take_increase = cost_inc <= cost_div
+            if take_increase:
+                new_deg.append(max(n_next, nk + 1))
+                new_frac.append(b)
+                off += nk
+                continue
+        # divide
         for j in range(1, B + 1):
             new_deg.append(max(n_min, min(nk, n_max)))
             new_frac.append(a + (b - a) * j / B)
         new_frac[-1] = b
         off += nk
+
+    # bucket-aware reduction veto: padding restores every degree to the
+    # phase bucket, so reductions only matter when they LOWER the bucket
+    if bucket_aware and reductions:
+        if bucket_degree(max(new_deg), n_max) >= cur_bucket:
+            for idx, orig in reductions:
+                new_deg[idx] = orig
 
     # merge pass: adjacent satisfied equal-degree segments whose union is
     # represented by a single degree-N polynomial to within tolerance
@@ -203,6 +246,15 @@ def liu_refine_phase(
         merged_deg.append(new_deg[i])
         merged_frac.append(new_frac[i + 1])
         i += 1
+
+    # bucket-aware merge veto: a merge that does not drop the padded
+    # power-of-two segment count is undone by bucket_mesh's re-bisection of
+    # the widest interval (often the just-merged one) — an oscillation with
+    # zero shape-signature gain. Keep the unmerged mesh in that case.
+    if bucket_aware and len(merged_deg) < len(new_deg):
+        if pad_count(len(merged_deg)) >= pad_count(len(new_deg)):
+            merged_deg = new_deg
+            merged_frac = new_frac
 
     state.prev_tau_fine = taus
     state.prev_x_fine = x_fine

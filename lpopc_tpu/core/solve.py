@@ -726,6 +726,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                     tol=options.desired_relative_error,
                     n_min=options.n_min, n_max=options.n_max,
                     curvature_ratio=options.curvature_ratio,
+                    bucket_aware=(options.mesh_bucketing == "on"),
                 )
                 new_meshes.append((d, f))
         else:
