@@ -81,6 +81,126 @@ def _drag_g(h, v):
     return drag, g
 
 
+# ----- module-level callables for the continuation path: stable function
+# identity is what lets every continuation rung share ONE compiled
+# runtime-mesh solver (core/solve._rt_solver_cache_key keys on fn ids; the
+# regularization weight eps rides in as a PINNED static parameter q[0],
+# i.e. a runtime bound, not a baked constant) -----
+
+def _dynamics_q(x, u, t, q):
+    h, v, m = x
+    T = u[0]
+    drag, g = _drag_g(h, v)
+    return jnp.array([v, (T - drag) / m - g, -T / C_EX])
+
+
+def _lagrange_eps_q(x, u, t, q):
+    return q[0] * u[0] ** 2
+
+
+def _mayer_alt(x0, t0, xf, tf, q):
+    return -xf[0]
+
+
+# loose envelope boxes (see make_problem_three_phase docstring: boxes the
+# trajectory RIDES without multiplier support poison the barrier)
+_X_LO = np.array([0.995, -0.05, 0.55])
+_X_HI = np.array([1.2, 0.5, 1.0])
+
+
+def make_problem_regularized(eps: float, degrees=(6,) * 6) -> Problem:
+    """Single-phase Goddard with ``eps ∫T² dt`` regularization carried as a
+    pinned static parameter and flight-envelope boxes. Built for the
+    automatic continuation of :func:`solve_auto`: every ``eps`` produces the
+    same function objects and shapes, so the whole eps ladder reuses one
+    compiled solver (warm-started rungs solve in seconds)."""
+    phase = Phase(
+        nx=3, nu=1, nq=1,
+        dynamics=_dynamics_q,
+        mayer=_mayer_alt,
+        lagrange=_lagrange_eps_q,
+        x0_bounds=(np.array([H0, 0.0, M0]), np.array([H0, 0.0, M0])),
+        xf_bounds=(np.array([_X_LO[0], 0.0, M_FINAL]),
+                   np.array([_X_HI[0], _X_HI[1], M_FINAL])),
+        x_bounds=(_X_LO, _X_HI),
+        u_bounds=(0.0, T_MAX),
+        q_bounds=(np.array([eps]), np.array([eps])),
+        t0_bounds=(0.0, 0.0),
+        tf_bounds=(0.05, 0.4),
+        guess_t=np.array([0.0, 0.1, 0.2]),
+        guess_x=np.array([[1.0, 0.0, 1.0], [1.005, 0.1, 0.8], [1.01, 0.0, 0.6]]),
+        guess_u=np.array([[T_MAX], [1.0], [0.0]]),
+        guess_q=np.array([eps]),
+        mesh_degrees=tuple(degrees),
+        mesh_fractions=uniform_fractions(len(degrees)),
+        name="goddard-reg",
+    )
+    return Problem(phases=(phase,), name="goddard-reg")
+
+
+def auto_options(**kw) -> SolveOptions:
+    """IPM settings for the single-phase envelope formulation (same three
+    levers as :func:`three_phase_options`, diagnosed there)."""
+    from ..core.ipm import IPMOptions
+
+    ipm = IPMOptions(tol=1e-8, max_iter=200, delta_c=1e-8, kappa_1=1e-6,
+                     mu_strategy="adaptive")
+    kw.setdefault("mesh_method", "none")
+    return SolveOptions(ipm=ipm, **kw)
+
+
+def solve_auto(
+    eps_schedule=(1e-2, 1e-3, 1e-4, 1e-5),
+    degrees=(6,) * 6,
+    options: SolveOptions = None,
+    verbose: bool = False,
+):
+    """Fully automatic singular-arc solve — no user-chosen phase split.
+
+    1. Solve the ``eps₀``-regularized single phase (a regular, IPM-friendly
+       problem).
+    2. **Detect** the arc structure (:mod:`lpopc_tpu.core.arcs`): a
+       sustained interior arc with a near-zero original-problem switching
+       function, on a control-affine problem (``control_affinity`` ≈ 0),
+       flags a singular arc.
+    3. If singular: **continuation** down the eps ladder, each rung
+       warm-started from the last — all rungs share one compiled solver
+       (the regularization weight is a pinned parameter, a runtime bound).
+
+    Recovers h* ≈ 1.01283 (published) on Goddard without the 3-phase
+    decomposition; the decomposition (:func:`make_problem_three_phase`)
+    remains the higher-accuracy route since it resolves the switch times as
+    free variables. Returns the final Solution with ``sol.arcs`` attached.
+    """
+    from ..core import arcs as arcs_mod
+    from ..core.postprocess import warm_start_problem
+
+    options = options or auto_options()
+    sol = None
+    arcs = None
+    for i, eps in enumerate(eps_schedule):
+        p = make_problem_regularized(eps, degrees)
+        wp = warm_start_problem(p, sol) if sol is not None else p
+        sol = _solve(wp, options)
+        if i == 0:
+            psol = sol.phases[0]
+            ph0 = make_problem(regularization=0.0).phases[0]
+            hu = arcs_mod.switching_function(ph0, psol)
+            arcs = arcs_mod.detect_control_arcs(
+                psol.t_col, psol.u[:, 0], 0.0, T_MAX, hu=hu
+            )
+            affinity = arcs_mod.control_affinity(ph0, psol, lagrange=None)
+            arcs = arcs_mod.promote_interior_if_affine(arcs, affinity)
+            singular = arcs_mod.has_singular_arc(arcs)
+            if verbose:
+                print(f"arc structure: {arcs_mod.describe_arcs(arcs)} "
+                      f"(control affinity {affinity:.1e})")
+            if not singular:
+                break  # regular problem: no continuation needed
+    sol.arcs = arcs
+    return sol
+
+
 def singular_surface(x):
     """Switching/singular surface ``S = m g - (1 + v/c) D`` (zero along the
     singular arc; derived from the vanishing switching function and its first

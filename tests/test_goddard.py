@@ -36,3 +36,66 @@ def test_goddard_three_phase_singular_arc_golden():
     assert abs(sol.phases[1].x[-1, 2] - goddard.M_FINAL) < 1e-8
     # velocity zero at apex
     assert abs(sol.phases[2].x[-1, 1]) < 1e-8
+
+
+def test_arc_detection_units():
+    """detect_control_arcs: saturation classes, blip absorption, oscillatory
+    and affine promotion to singular."""
+    from lpopc_tpu.core.arcs import (
+        Arc, detect_control_arcs, describe_arcs, has_singular_arc,
+        promote_interior_if_affine,
+    )
+
+    t = np.linspace(0.0, 1.0, 40)
+    u = np.concatenate([
+        np.full(10, 3.5),                     # upper
+        1.5 + 0.5 * (-1.0) ** np.arange(20),  # ringing interior
+        np.zeros(10),                          # lower
+    ])
+    arcs = detect_control_arcs(t, u, 0.0, 3.5)
+    assert [a.kind for a in arcs] == ["upper", "singular", "lower"]
+    assert arcs[1].oscillations >= 4
+    assert has_singular_arc(arcs)
+    assert "singular" in describe_arcs(arcs)
+
+    # smooth interior arc: not singular by oscillation...
+    u2 = np.concatenate([np.full(10, 3.5), np.linspace(2.0, 1.0, 20), np.zeros(10)])
+    arcs2 = detect_control_arcs(t, u2, 0.0, 3.5)
+    assert [a.kind for a in arcs2] == ["upper", "interior", "lower"]
+    assert not has_singular_arc(arcs2)
+    # ...but promoted on a control-affine problem
+    promote_interior_if_affine(arcs2, affinity=0.0)
+    assert has_singular_arc(arcs2)
+    # non-affine: untouched
+    arcs3 = detect_control_arcs(t, u2, 0.0, 3.5)
+    promote_interior_if_affine(arcs3, affinity=1.0)
+    assert not has_singular_arc(arcs3)
+
+    # short blip at a switch is absorbed, not its own arc
+    u4 = np.concatenate([np.full(19, 3.5), [1.7], np.zeros(20)])
+    arcs4 = detect_control_arcs(t, u4, 0.0, 3.5, min_nodes=2)
+    assert [a.kind for a in arcs4] == ["upper", "lower"]
+
+
+def test_control_affinity():
+    from lpopc_tpu.core.arcs import control_affinity
+
+    sol = solve(goddard.make_problem(degrees=(4,) * 2),
+                SolveOptions(mesh_method="none", max_iterations=8))
+    ph0 = goddard.make_problem(regularization=0.0).phases[0]
+    # Goddard dynamics are affine in T
+    assert control_affinity(ph0, sol.phases[0], lagrange=None) < 1e-12
+    # the regularized lagrange is quadratic -> non-affine
+    ph_reg = goddard.make_problem(regularization=1e-2).phases[0]
+    assert control_affinity(ph_reg, sol.phases[0]) > 1e-3
+
+
+def test_goddard_solve_auto_golden():
+    """Automatic singular-arc workflow (detect + eps-continuation) recovers
+    the published h* with NO user-chosen phase split."""
+    sol = goddard.solve_auto()
+    assert sol.solved
+    hf = -sol.objective
+    assert abs(hf - goddard.PUBLISHED_HF) < 1e-4
+    kinds = [a.kind for a in sol.arcs]
+    assert kinds == ["upper", "singular", "lower"]
