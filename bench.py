@@ -134,7 +134,9 @@ def bench_mpc(steps: int = 30):
         u_bounds=(-50.0, 50.0), t0_bounds=(0.0, 0.0), tf_bounds=(1.0, 1.0),
         mesh_degrees=(8,), mesh_fractions=(-1.0, 1.0),
     ),))
-    ctrl = MPCController(prob, SolveOptions(tol=1e-6))
+    # warm bound duals + horizon shift: steady-state re-solves converge in
+    # ONE IPM iteration (measured; 4 without)
+    ctrl = MPCController(prob, SolveOptions(tol=1e-6), shift_dt=0.02)
     x = np.array([1.0, 0.0])
     for _ in range(steps):
         u0, info = ctrl.step(x)

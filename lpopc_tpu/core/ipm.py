@@ -77,6 +77,16 @@ class IPMOptions:
     s_phi: float = 2.3
     delta_sw: float = 1.0        # switching-condition scale
     max_ls: int = 20             # max line-search halvings
+    # Line-search evaluation: "parallel" evaluates ALL max_ls trial alphas
+    # in one batched op and takes the first acceptable one — identical
+    # semantics to the sequential halving loop, but with no sequential
+    # dependency (under vmap the while_loop is LOCKSTEP: the whole batch
+    # waits for the instance needing the most halvings). Measured on the
+    # batch-512 brachistochrone TPU bench: 353 vs 364 solves/s — the filter
+    # accepts the first trial almost always there, so the 20x trial work
+    # buys nothing; default stays sequential. Use "parallel" for ragged
+    # sweeps where backtracking depth varies across the batch.
+    ls_mode: str = "sequential"
     max_reg: int = 30            # max regularization increases per iteration
     max_refine: int = 1          # iterative-refinement rounds on the KKT step
     record_history: bool = False # per-iteration (kkt, mu, alpha, delta) trace
@@ -494,8 +504,17 @@ def build_solver(
                 r0 = jnp.max(jnp.abs(rhs0 - kdz0))
                 dz1 = dz0 + solveK(rhs0 - kdz0)
                 kdz1 = kv(dz1)
-                r_end = jnp.max(jnp.abs(rhs0 - kdz1))
+                r1 = jnp.max(jnp.abs(rhs0 - kdz1))
                 dz1 = dz1 + solveK(rhs0 - kdz1)
+                # f64: the once-refined residual r1 is the divergence probe
+                # (margins below are tuned for it; saves a K-apply). f32: the
+                # floor/growth margins were tuned for the residual AFTER the
+                # second refinement round — measuring one round early made the
+                # inertia test reject legitimate endgame steps (every barrier-
+                # endgame iteration regularized -> MAX_ITER; caught by
+                # test_round2::test_f32_factorization_...), so spend the extra
+                # K-apply there.
+                r_end = r1 if _fdt is None else jnp.max(jnp.abs(rhs0 - kv(dz1)))
                 # Absolute floor: a backward-stable solve leaves a residual of
                 # order eps * ||K|| ||dz|| (NOT eps * ||rhs||: the two differ by
                 # the cancellation factor ||K|| ||dz|| / ||rhs||), and iterative
@@ -525,7 +544,16 @@ def build_solver(
                 # TRUE Newton system (no delta_c on the constraint row), using
                 # the condensed factorization as the solver. Removes both the
                 # penalty perturbation on equality rows and rounding error.
-                for _ in range(max(1, opt.max_refine)):
+                # f32 factors need TWO rounds: one leaves the step at the f32
+                # noise plateau and the barrier endgame stalls just above
+                # tol~1e-4 on bucketed (deg-8) meshes (measured: 1 round ->
+                # MAX_ITER at kkt 2.3e-4; 2 -> converged, kkt 9e-5; 3 ->
+                # diverges again, the extra correction re-injects f32 noise).
+                n_refine = (
+                    max(1, opt.max_refine) if _fdt is None
+                    else max(2, opt.max_refine)
+                )
+                for _ in range(n_refine):
                     e1 = -a - (hv_(dz) + wdiag * dz + jtv_(dlam))
                     e1 = jnp.where(fixed[:n], 0.0, e1)
                     e2 = jnp.where(fixed[n:], 0.0, -b - (sig_s * ds - dlam))
@@ -620,7 +648,8 @@ def build_solver(
 
             def trial_ok(alpha):
                 w_t = w + alpha * dw
-                th_t = theta(w_t)
+                rp_t = constraints(w_t[:n]) - w_t[n:]   # one eval serves
+                th_t = jnp.sum(jnp.abs(rp_t))           # theta AND phi_R
                 phi_t = barrier_phi(w_t, mu)
                 finite = jnp.isfinite(th_t) & jnp.isfinite(phi_t)
                 dominated = jnp.any(
@@ -637,7 +666,6 @@ def build_solver(
                 use_armijo = (th0 <= theta_min) & switching
                 acceptable = jnp.where(use_armijo, armijo, progress)
                 # restoration mode: Armijo on the restoration merit phi_R
-                rp_t = constraints(w_t[:n]) - w_t[n:]
                 phi_r_t = 0.5 * jnp.sum(d_used * rp_t * rp_t) + barrier_only(w_t)
                 resto_ok = (
                     jnp.isfinite(phi_r_t)
@@ -651,20 +679,36 @@ def build_solver(
                 )
                 return acc, (~in_resto) & use_armijo & armijo
 
-            def ls_cond(carry):
-                j, alpha, accepted, _ = carry
-                return (~accepted) & (j < opt.max_ls)
-
-            def ls_body(carry):
-                j, alpha, _, _ = carry
-                ok_t, armijo_case = trial_ok(alpha)
-                return (j + 1, jnp.where(ok_t, alpha, alpha * 0.5), ok_t, armijo_case)
-
-            j0 = (0, alpha_max, jnp.asarray(False), jnp.asarray(False))
             # If the search fails, the final (tiny) alpha is taken anyway and
             # the next iteration starts its regularization search from a
             # boosted delta; FAILED is flagged only on non-finite steps.
-            jj, alpha, accepted, armijo_case = jax.lax.while_loop(ls_cond, ls_body, j0)
+            if opt.ls_mode == "parallel":
+                alphas = alpha_max * 0.5 ** jnp.arange(opt.max_ls, dtype=dtype)
+                ok_all, armijo_all = jax.vmap(trial_ok)(alphas)
+                first = jnp.argmax(ok_all)          # first acceptable trial
+                accepted = jnp.any(ok_all)
+                pick = jnp.where(accepted, first, opt.max_ls - 1)
+                # the sequential loop's failure alpha is alpha_max * 0.5^max_ls
+                alpha = jnp.where(accepted, alphas[pick], alphas[-1] * 0.5)
+                armijo_case = armijo_all[pick] & accepted
+                jj = (pick + 1).astype(jnp.int32)
+            else:
+                def ls_cond(carry):
+                    j, alpha, accepted, _ = carry
+                    return (~accepted) & (j < opt.max_ls)
+
+                def ls_body(carry):
+                    j, alpha, _, _ = carry
+                    ok_t, armijo_case = trial_ok(alpha)
+                    return (
+                        j + 1, jnp.where(ok_t, alpha, alpha * 0.5),
+                        ok_t, armijo_case,
+                    )
+
+                j0 = (0, alpha_max, jnp.asarray(False), jnp.asarray(False))
+                jj, alpha, accepted, armijo_case = jax.lax.while_loop(
+                    ls_cond, ls_body, j0
+                )
 
             # filter augmentation: whenever acceptance did not come from the
             # Armijo case, block this (theta, phi) region from future returns

@@ -192,6 +192,15 @@ def make_batch_solver(
             kkt_factorizer=kkt_fact, structured_kkt=bound_sk,
         )
         vsolver = jax.vmap(solver)
+        # warm-dual variant (receding-horizon re-solves): carries the bound
+        # duals z_L/z_U of the previous solve; the IPM then starts mu at the
+        # carried complementarity instead of mu_init — typically 3-6
+        # iterations instead of a cold ~15. Compiled lazily on first use.
+        vsolver_warm = jax.vmap(
+            lambda z0, zl, zu, cl, cu, lam0, zld, zud: solver(
+                z0, zl, zu, cl, cu, lam0, zl_d_init=zld, zu_d_init=zud
+            )
+        )
     if mesh is not None:
         arg_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names), None))
         jitted = jax.jit(
@@ -199,14 +208,24 @@ def make_batch_solver(
             in_shardings=(arg_sharding,) * 6,
             donate_argnums=(0,) if donate else (),
         )
+        jitted_warm = None
     else:
         jitted = jax.jit(vsolver, donate_argnums=(0,) if donate else ())
+        jitted_warm = (
+            None if two_stage else jax.jit(vsolver_warm)
+        )
 
     m_rows = nlp.m
 
-    def run(z0, zl, zu, cl, cu, lam0=None):
+    def run(z0, zl, zu, cl, cu, lam0=None, zl_d=None, zu_d=None):
         if lam0 is None:
             lam0 = jnp.zeros((z0.shape[0], m_rows), dtype=jnp.asarray(z0).dtype)
+        if zl_d is not None:
+            if jitted_warm is None:
+                raise ValueError(
+                    "warm bound duals are not supported with two_stage/mesh"
+                )
+            return jitted_warm(z0, zl, zu, cl, cu, lam0, zl_d, zu_d)
         return jitted(z0, zl, zu, cl, cu, lam0)
 
     return BatchSolver(
