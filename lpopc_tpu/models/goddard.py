@@ -153,52 +153,31 @@ def solve_auto(
     eps_schedule=(1e-2, 1e-3, 1e-4, 1e-5),
     degrees=(6,) * 6,
     options: SolveOptions = None,
+    method: str = "decompose",
     verbose: bool = False,
 ):
     """Fully automatic singular-arc solve — no user-chosen phase split.
 
-    1. Solve the ``eps₀``-regularized single phase (a regular, IPM-friendly
-       problem).
-    2. **Detect** the arc structure (:mod:`lpopc_tpu.core.arcs`): a
-       sustained interior arc with a near-zero original-problem switching
-       function, on a control-affine problem (``control_affinity`` ≈ 0),
-       flags a singular arc.
-    3. If singular: **continuation** down the eps ladder, each rung
-       warm-started from the last — all rungs share one compiled solver
-       (the regularization weight is a pinned parameter, a runtime bound).
-
-    Recovers h* ≈ 1.01283 (published) on Goddard without the 3-phase
-    decomposition; the decomposition (:func:`make_problem_three_phase`)
-    remains the higher-accuracy route since it resolves the switch times as
-    free variables. Returns the final Solution with ``sol.arcs`` attached.
+    Generic workflow (:func:`lpopc_tpu.core.decompose.auto_singular_solve`):
+    regularized solve → arc detection → either the automatic per-arc
+    multi-phase decomposition with free switch times (default; matches the
+    hand-built :func:`make_problem_three_phase` result, h* to 4e-6 of the
+    published 1.01283 from ONE cheap rung) or eps-continuation
+    (``method="continuation"``; reaches 1.012831, all rungs sharing one
+    compiled solver since eps is a pinned parameter).
     """
-    from ..core import arcs as arcs_mod
-    from ..core.postprocess import warm_start_problem
+    from ..core.decompose import auto_singular_solve
 
-    options = options or auto_options()
-    sol = None
-    arcs = None
-    for i, eps in enumerate(eps_schedule):
-        p = make_problem_regularized(eps, degrees)
-        wp = warm_start_problem(p, sol) if sol is not None else p
-        sol = _solve(wp, options)
-        if i == 0:
-            psol = sol.phases[0]
-            ph0 = make_problem(regularization=0.0).phases[0]
-            hu = arcs_mod.switching_function(ph0, psol)
-            arcs = arcs_mod.detect_control_arcs(
-                psol.t_col, psol.u[:, 0], 0.0, T_MAX, hu=hu
-            )
-            affinity = arcs_mod.control_affinity(ph0, psol, lagrange=None)
-            arcs = arcs_mod.promote_interior_if_affine(arcs, affinity)
-            singular = arcs_mod.has_singular_arc(arcs)
-            if verbose:
-                print(f"arc structure: {arcs_mod.describe_arcs(arcs)} "
-                      f"(control affinity {affinity:.1e})")
-            if not singular:
-                break  # regular problem: no continuation needed
-    sol.arcs = arcs
-    return sol
+    return auto_singular_solve(
+        make_regularized=lambda eps: make_problem_regularized(eps, degrees),
+        make_unregularized=lambda: make_problem(regularization=0.0),
+        u_bounds=(0.0, T_MAX),
+        options=options or auto_options(),
+        eps_schedule=eps_schedule,
+        method=method,
+        decomposed_options=three_phase_options(),
+        verbose=verbose,
+    )
 
 
 def singular_surface(x):

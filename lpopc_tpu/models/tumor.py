@@ -134,34 +134,23 @@ def solve_auto(
     eps_schedule=(1e-2, 1e-3, 1e-4, 1e-5),
     degrees=(6,) * 6,
     options: SolveOptions = None,
+    method: str = "continuation",
     verbose: bool = False,
 ):
-    """Automatic bang–singular–bang solve via detection + continuation
-    (see :func:`..models.goddard.solve_auto`; identical workflow, different
-    physics — nothing here is Goddard-specific)."""
-    from ..core import arcs as arcs_mod
-    from ..core.postprocess import warm_start_problem
+    """Automatic bang–singular solve via the generic detection workflow
+    (:func:`lpopc_tpu.core.decompose.auto_singular_solve`; identical to
+    Goddard's, different physics — nothing here is problem-specific).
+    Default method is continuation: the tumor horizon is FIXED and the
+    singular arc spans ~90% of it, so freeing the switch times buys little;
+    ``method="decompose"`` is available and golden-tested too."""
+    from ..core.decompose import auto_singular_solve
 
-    options = options or auto_options()
-    sol = None
-    arcs = None
-    for i, eps in enumerate(eps_schedule):
-        p = make_problem_regularized(eps, degrees)
-        wp = warm_start_problem(p, sol) if sol is not None else p
-        sol = _solve(wp, options)
-        if i == 0:
-            psol = sol.phases[0]
-            ph0 = make_problem().phases[0]
-            hu = arcs_mod.switching_function(ph0, psol)
-            arcs = arcs_mod.detect_control_arcs(
-                psol.t_col, psol.u[:, 0], 0.0, 1.0, hu=hu
-            )
-            affinity = arcs_mod.control_affinity(ph0, psol, lagrange=None)
-            arcs = arcs_mod.promote_interior_if_affine(arcs, affinity)
-            if verbose:
-                print(f"arc structure: {arcs_mod.describe_arcs(arcs)} "
-                      f"(affinity {affinity:.1e})")
-            if not arcs_mod.has_singular_arc(arcs):
-                break
-    sol.arcs = arcs
-    return sol
+    return auto_singular_solve(
+        make_regularized=lambda eps: make_problem_regularized(eps, degrees),
+        make_unregularized=make_problem,
+        u_bounds=(0.0, 1.0),
+        options=options or auto_options(),
+        eps_schedule=eps_schedule,
+        method=method,
+        verbose=verbose,
+    )

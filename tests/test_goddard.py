@@ -99,3 +99,37 @@ def test_goddard_solve_auto_golden():
     assert abs(hf - goddard.PUBLISHED_HF) < 1e-4
     kinds = [a.kind for a in sol.arcs]
     assert kinds == ["upper", "singular", "lower"]
+
+
+def test_endpoint_dependency_classifier():
+    import jax.numpy as jnp
+    from lpopc_tpu.core.decompose import _endpoint_dependency
+
+    sample = (jnp.ones(3), jnp.asarray(0.0), jnp.ones(3) * 2.0,
+              jnp.asarray(1.0), jnp.zeros(0))
+    fin = lambda x0, t0, xf, tf, q: -xf[0] + tf
+    assert _endpoint_dependency(fin, 3, 0, sample) == (False, True)
+    ini = lambda x0, t0, xf, tf, q: jnp.array([x0[1], t0])
+    assert _endpoint_dependency(ini, 3, 0, sample) == (True, False)
+    both = lambda x0, t0, xf, tf, q: xf[0] - x0[0]
+    assert _endpoint_dependency(both, 3, 0, sample) == (True, True)
+
+
+def test_decompose_rejects_endpoint_coupled_mayer():
+    import dataclasses
+    import numpy as np
+    import pytest
+    from lpopc_tpu.core.decompose import decompose_by_arcs
+    from lpopc_tpu.core.arcs import Arc
+
+    p = goddard.make_problem(regularization=0.0)
+    ph = dataclasses.replace(
+        p.phases[0], mayer=lambda x0, t0, xf, tf, q: xf[0] - x0[0]
+    )
+    p = dataclasses.replace(p, phases=(ph,))
+    # minimal fake solution for the guesses
+    sol = solve(goddard.make_problem(degrees=(4,) * 2),
+                SolveOptions(mesh_method="none", max_iterations=8))
+    arcs = [Arc("upper", 0.0, 0.08, 0, 3, 0), Arc("singular", 0.08, 0.2, 4, 7, 5)]
+    with pytest.raises(ValueError, match="both endpoints"):
+        decompose_by_arcs(p, sol.phases[0], arcs)

@@ -35,3 +35,14 @@ def test_tumor_regularized_rung_solves():
     )
     assert sol.solved
     assert sol.kkt_error < 1e-7
+
+
+def test_tumor_decomposed_beats_continuation():
+    """The automatic per-arc decomposition (free switch time, eps confined
+    to the singular phase) reaches a slightly LOWER p(tf) than the eps
+    ladder — regularization bias removed from the bang arc."""
+    sol = tumor.solve_auto(method="decompose")
+    assert sol.solved
+    p_tf = sol.objective * tumor.SCALE
+    assert abs(p_tf - 1951.8) < 3.0
+    assert p_tf < 1954.6  # at least as good as the continuation limit
