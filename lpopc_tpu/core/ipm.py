@@ -251,7 +251,16 @@ def build_solver(
     def _eq_ok(Fe):
         return _factor_ok(Fe[0])
 
-    def solve(z0, zl, zu, cl, cu, lam0=None, aux=None, zl_d_init=None, zu_d_init=None):
+    def solve(z0, zl, zu, cl, cu, lam0=None, aux=None, zl_d_init=None,
+              zu_d_init=None, tol=None):
+        # `tol` (optional, traced) overrides opt.tol for the CONVERGENCE
+        # TEST only — the hp driver's adaptive per-grid tolerance schedule
+        # loosens coarse grids without recompiling (everything else keyed
+        # off opt.tol — mu floor, theta_min — stays static).
+        tol_eff = (
+            jnp.asarray(opt.tol, z0.dtype) if tol is None
+            else jnp.asarray(tol, z0.dtype)
+        )
         if takes_aux:
             objective = lambda z: obj_base(z, aux)
             constraints = lambda z: con_base(z, aux)
@@ -790,7 +799,7 @@ def build_solver(
                 f_count = jnp.where(mu_next != mu, 0, f_count)
 
             e_0 = error_from_parts(err_parts, jnp.zeros((), dtype))
-            status_new = jnp.where(e_0 <= opt.tol, SOLVED, status)
+            status_new = jnp.where(e_0 <= tol_eff, SOLVED, status)
             status_new = jnp.where(bad & (it > 2), FAILED, status_new)
             status_new = jnp.where(
                 (it + 1 >= opt.max_iter) & (status_new == RUNNING), MAX_ITER, status_new

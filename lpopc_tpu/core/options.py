@@ -75,6 +75,11 @@ REGISTRY: tuple[OptionSpec, ...] = (
     OptionSpec("block_assembly", "block-assembly", str, "direct",
                choices=("direct", "dense"),
                doc="matrix-free per-segment KKT assembly vs dense-then-gather"),
+    OptionSpec("grid_tol_schedule", "grid-tol-schedule", str, "off",
+               choices=("off", "adaptive"),
+               doc="per-grid NLP tolerance: coarse grids solved ~100x tighter "
+                   "than their measured mesh error, final mesh polished at "
+                   "the full tolerance (traced tol -> no extra compiles)"),
     OptionSpec("verbose", "print-level", bool, False, doc="per-grid logging"),
 )
 

@@ -79,6 +79,12 @@ class SolveOptions:
     # hp-Liu, and the multi-phase launch); "off" restores per-grid shapes.
     mesh_bucketing: str = "on"         # "on" | "off"
     mesh_method: str = "ph"            # "ph" | "hp-liu" | "none"
+    # Adaptive per-grid NLP tolerance: coarse grids are solved only ~100x
+    # tighter than their measured discretization error (there is no point
+    # driving the NLP to 1e-8 under a 1e-3 mesh); the final mesh is always
+    # re-polished at the full tolerance. The loosened tolerance is a traced
+    # input of the compiled solver — no extra compilations.
+    grid_tol_schedule: str = "off"     # "off" | "adaptive"
     max_grid_num: int = 10
     desired_relative_error: float = 1e-6
     n_min: int = 4
@@ -454,7 +460,7 @@ def _build_rt_solver(problem: Problem, nlp, options: SolveOptions):
 
 def _solve_on_mesh_rt(
     problem: Problem, options: SolveOptions, prev_sol: Solution = None,
-    grid: int = 1,
+    grid: int = 1, nlp_tol: float = None,
 ) -> Solution:
     """Runtime-mesh counterpart of :func:`solve_on_mesh`."""
     nlp = transcribe(problem)
@@ -497,6 +503,9 @@ def _solve_on_mesh_rt(
         "sc": jnp.asarray(scaled.con_scale),
         "v": jnp.asarray(scaled.var_scale),
     }
+    kw["tol"] = jnp.asarray(float(
+        nlp_tol if nlp_tol is not None else options.ipm_options().tol
+    ))
     t_start = time.perf_counter()
     res = jitted_solver(
         jnp.asarray(nlp.z0 * scaled.var_scale),
@@ -535,7 +544,7 @@ def _solve_on_mesh_rt(
 @traced
 def solve_on_mesh(
     problem: Problem, options: SolveOptions, prev_sol: Solution = None,
-    grid: int = 1,
+    grid: int = 1, nlp_tol: float = None,
 ) -> Solution:
     """Single fixed-mesh solve: transcription + scaling + one IPM run.
 
@@ -546,7 +555,9 @@ def solve_on_mesh(
     keys cannot be recycled.
     """
     if options.mesh_bucketing == "on":
-        return _solve_on_mesh_rt(problem, options, prev_sol=prev_sol, grid=grid)
+        return _solve_on_mesh_rt(
+            problem, options, prev_sol=prev_sol, grid=grid, nlp_tol=nlp_tol
+        )
     nlp = transcribe(problem)
     key = _solver_cache_key(problem, nlp, options)
     entry = _SOLVER_CACHE.get(key)
@@ -607,7 +618,14 @@ def solve_on_mesh(
         jnp.asarray(scaled.zl), jnp.asarray(scaled.zu),
         jnp.asarray(scaled.cl), jnp.asarray(scaled.cu),
     )
-    res = jitted_solver(*args) if lam0 is None else jitted_solver(*args, lam0, **kw)
+    # tol always passed as a traced array -> ONE trace signature whether or
+    # not the adaptive schedule is active
+    kw["tol"] = jnp.asarray(float(
+        nlp_tol if nlp_tol is not None else options.ipm_options().tol
+    ))
+    res = jitted_solver(
+        *args, lam0 if lam0 is not None else jnp.zeros((nlp.m,)), **kw
+    )
     history = res.history
     res = res._replace(history=None)
     res = jax.tree_util.tree_map(np.asarray, res)
@@ -657,8 +675,35 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     prev_sol = None
     refiner_state = None
     original_phases = problem.phases
+    full_tol = options.ipm_options().tol
+    adaptive_tol = (
+        options.grid_tol_schedule == "adaptive"
+        and options.mesh_method != "none" and options.max_grid_num > 1
+    )
+    prev_max_err = None
+
+    def _grid_tol():
+        if not adaptive_tol:
+            return None
+        if prev_max_err is None:
+            return max(full_tol, 1e-5)
+        return max(full_tol, min(1e-5, 0.01 * prev_max_err))
+
+    def _polish(sol, grid):
+        """Final-mesh re-solve at the FULL tolerance (warm-started, same
+        mesh -> same compiled solver, few iterations) when the adaptive
+        schedule solved it loosely."""
+        if not adaptive_tol or sol.kkt_error <= full_tol:
+            return sol
+        wp = warm_start_problem(problem, sol)
+        polished = solve_on_mesh(wp, options, prev_sol=sol, grid=grid)
+        return polished if polished.status == SOLVED else sol
+
     for grid in range(max(1, options.max_grid_num)):
-        sol = solve_on_mesh(problem, options, prev_sol=prev_sol, grid=grid + 1)
+        sol = solve_on_mesh(
+            problem, options, prev_sol=prev_sol, grid=grid + 1,
+            nlp_tol=_grid_tol(),
+        )
         if sol.status != SOLVED and grid > 0:
             # Warm start led the NLP astray (local blowup / divergence): retry
             # this mesh cold from the user's original guess before giving up.
@@ -673,7 +718,9 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                     for ph, og in zip(problem.phases, original_phases)
                 ),
             )
-            cold_sol = solve_on_mesh(cold, options, grid=grid + 1)
+            cold_sol = solve_on_mesh(
+                cold, options, grid=grid + 1, nlp_tol=_grid_tol()
+            )
             if cold_sol.status == SOLVED or cold_sol.kkt_error < sol.kkt_error:
                 sol = cold_sol
         sol.grids = grid + 1
@@ -696,6 +743,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
         if options.mesh_method == "none" or options.max_grid_num <= 1:
             return sol
         errs = estimate_errors(problem, sol)
+        prev_max_err = max((float(np.max(e)) if e.size else 0.0) for e in errs)
         error_history.append([e.copy() for e in errs])
         sol.error_history = error_history
         max_err = max((float(np.max(e)) if e.size else 0.0) for e in errs)
@@ -707,8 +755,14 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                 [len(ph.mesh_degrees) for ph in problem.phases],
             )
         if max_err <= options.desired_relative_error:
-            return sol
+            polished = _polish(sol, grid + 1)
+            polished.grids = sol.grids
+            polished.mesh_history = sol.mesh_history
+            polished.error_history = sol.error_history
+            polished.max_relative_error = max_err
+            return polished
         if grid == options.max_grid_num - 1:
+            sol = _polish(sol, grid + 1)
             sol.status = OCP_REACH_MAX_GRID
             return sol
         # refine each phase's mesh
