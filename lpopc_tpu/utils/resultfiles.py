@@ -43,5 +43,24 @@ def save_results(sol: Solution, directory: str, prefix: str = "") -> list:
             f"kkt_error {sol.kkt_error:.3e}\ngrids {sol.grids}\n"
             f"max_relative_error {sol.max_relative_error:.3e}\n"
         )
+        for p, ps in enumerate(sol.phases, start=1):
+            f.write(
+                f"phase{p} t0 {ps.t0:.12g} tf {ps.tf:.12g} "
+                f"segments {len(ps.mesh_degrees)} "
+                f"degrees {list(ps.mesh_degrees)}\n"
+            )
+        # refinement trajectory (the reference's per-grid observability is
+        # file-per-grid; one combined history line per grid here)
+        hist = getattr(sol, "mesh_history", None) or []
+        errs = getattr(sol, "error_history", None) or []
+        for k, sig in enumerate(hist, start=1):
+            line = f"grid {k} mesh {sig}"
+            if k - 1 < len(errs):
+                emax = max(
+                    (float(np.max(e)) if np.asarray(e).size else 0.0)
+                    for e in errs[k - 1]
+                )
+                line += f" max_error {emax:.3e}"
+            f.write(line + "\n")
     paths.append(summary)
     return paths

@@ -63,6 +63,25 @@ def main():
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(obj_g)
     print(f"WORKER {pid} globalsum={float(total):.12f}", flush=True)
 
+    # Segment-sharded giant instance ACROSS the process boundary: the
+    # 16-segment block-KKT spans both processes' devices, so the border
+    # Schur all-reduce crosses the inter-process link (the DCN analog).
+    from lpopc_tpu.models import hypersensitive
+    from lpopc_tpu.parallel.segment import make_segment_solver, segment_mesh
+
+    seg_run = make_segment_solver(
+        hypersensitive.make_problem(tf=40.0, degrees=(6,) * 16),
+        SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60),
+                     mesh_method="none", block_kkt="on"),
+        mesh=segment_mesh(),      # all 8 global devices
+    )
+    seg_res = seg_run()
+    print(
+        f"WORKER {pid} seg_status={int(seg_res.status)} "
+        f"seg_obj={float(seg_res.objective):.12f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

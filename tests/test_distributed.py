@@ -62,3 +62,12 @@ def test_two_process_distributed_solve():
         sums.append(float(m.group(1)))
     # both processes must see the same globally-reduced objective
     assert abs(sums[0] - sums[1]) < 1e-9, sums
+    # segment-sharded giant instance across the process boundary: both
+    # processes converge it and agree on the objective
+    seg = []
+    for out in outs:
+        m = re.search(r"seg_status=(\d+) seg_obj=([-\d.]+)", out)
+        assert m, out
+        assert int(m.group(1)) == 1, out   # SOLVED
+        seg.append(float(m.group(2)))
+    assert abs(seg[0] - seg[1]) < 1e-9, seg
