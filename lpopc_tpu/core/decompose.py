@@ -41,16 +41,20 @@ from ..ops.lgr import uniform_fractions
 
 
 def _endpoint_dependency(fn, nx, nq, sample):
-    """(uses_initial, uses_final) measured by AD at a sample point."""
+    """(uses_initial, uses_final) measured by AD at a sample point.
+
+    Full Jacobian per component (not a gradient of the component SUM —
+    opposite-sign dependencies across event components would cancel there
+    and misclassify)."""
     x0, t0, xf, tf, q = sample
 
     def f(x0_, t0_, xf_, tf_):
-        out = fn(x0_, t0_, xf_, tf_, q)
-        return jnp.sum(jnp.atleast_1d(out))
+        return jnp.atleast_1d(fn(x0_, t0_, xf_, tf_, q))
 
-    g = jax.grad(f, argnums=(0, 1, 2, 3))(x0, t0, xf, tf)
-    uses_initial = float(jnp.max(jnp.abs(g[0]))) > 1e-12 or abs(float(g[1])) > 1e-12
-    uses_final = float(jnp.max(jnp.abs(g[2]))) > 1e-12 or abs(float(g[3])) > 1e-12
+    J = jax.jacrev(f, argnums=(0, 1, 2, 3))(x0, t0, xf, tf)
+    m = [float(jnp.max(jnp.abs(j))) if j.size else 0.0 for j in J]
+    uses_initial = m[0] > 1e-12 or m[1] > 1e-12
+    uses_final = m[2] > 1e-12 or m[3] > 1e-12
     return uses_initial, uses_final
 
 

@@ -133,3 +133,15 @@ def test_decompose_rejects_endpoint_coupled_mayer():
     arcs = [Arc("upper", 0.0, 0.08, 0, 3, 0), Arc("singular", 0.08, 0.2, 4, 7, 5)]
     with pytest.raises(ValueError, match="both endpoints"):
         decompose_by_arcs(p, sol.phases[0], arcs)
+
+
+def test_endpoint_dependency_no_cancellation():
+    """Opposite-sign dependencies across event components must not cancel
+    (Jacobian-based classification, not gradient-of-sum)."""
+    import jax.numpy as jnp
+    from lpopc_tpu.core.decompose import _endpoint_dependency
+
+    sample = (jnp.ones(3), jnp.asarray(0.0), jnp.ones(3) * 2.0,
+              jnp.asarray(1.0), jnp.zeros(0))
+    cancel = lambda x0, t0, xf, tf, q: jnp.array([xf[0], -xf[0]])
+    assert _endpoint_dependency(cancel, 3, 0, sample) == (False, True)
