@@ -52,6 +52,46 @@ class BatchSolver:
         tile = lambda a: np.broadcast_to(np.asarray(a), (batch,) + np.asarray(a).shape).copy()
         return (tile(s.z0), tile(s.zl), tile(s.zu), tile(s.cl), tile(s.cu))
 
+    def _pin_sensitivities(self, res, rows: slice):
+        """dJ*/d(b) per instance for PINNED variables in ``rows`` — the
+        envelope theorem: the optimum moves by ∂L/∂z_i db when an equality
+        pin shifts, and for a fixed variable that multiplier is the reduced
+        gradient (∇f + Jᵀλ)_i at the solution (the IPM masks fixed rows out
+        of the bound-dual system entirely). One vmapped AD evaluation per
+        call — no extra solves. NaN where the variable is not pinned."""
+        if not hasattr(self, "_sens_fn"):
+            import jax as _jax
+
+            obj, con = self.nlp.objective, self.nlp.constraints
+
+            def reduced_grad(z, lam):
+                g = _jax.grad(obj)(z)
+                _, vjp = _jax.vjp(con, z)
+                return g + vjp(lam)[0]
+
+            self._sens_fn = _jax.jit(_jax.vmap(reduced_grad))
+        z_raw = np.asarray(res.z) / self.scaled.var_scale[None, :]
+        lam_raw = np.asarray(res.lam) * (
+            self.scaled.con_scale / self.scaled.obj_scale
+        )[None, :]
+        sens = np.asarray(self._sens_fn(z_raw, lam_raw))[:, rows]
+        pinned = (self.nlp.zu[rows] - self.nlp.zl[rows]) < 1e-12
+        return np.where(pinned[None, :], sens, np.nan)
+
+    def x0_sensitivities(self, res, phase: int = 0):
+        """(batch, nx) objective sensitivities dJ*/dx0 for pinned initial
+        states — the MPC/value-function gradient, read off the duals."""
+        pl = self.nlp.layout.phases[phase]
+        return self._pin_sensitivities(
+            res, slice(pl.var_offset, pl.var_offset + pl.nx)
+        )
+
+    def q_sensitivities(self, res, phase: int = 0):
+        """(batch, nq) design sensitivities dJ*/dq for pinned static
+        parameters (design variables frozen by equal bounds)."""
+        pl = self.nlp.layout.phases[phase]
+        return self._pin_sensitivities(res, pl.q_slice)
+
     def perturb_x0(self, batch: int, phase: int, deltas: np.ndarray):
         """Nominal inputs with the phase-``phase`` initial state shifted by
         ``deltas`` (batch, nx) — the canonical MPC/perturbation sweep input.

@@ -91,3 +91,33 @@ def test_mpc_rti_mode_fixed_budget():
         x = x + 0.02 * np.array([x[1], float(u0[0])])
     # the RTI controller still regulates the plant toward the origin
     assert abs(x[0]) < 1.0
+
+
+def test_dual_sensitivities_match_finite_differences():
+    """dJ*/dx0 and dJ*/dq from the bound duals (envelope theorem) match
+    finite differences of re-solves — design/value-function gradients come
+    free with every solve."""
+    from lpopc_tpu.parallel.batch import make_batch_solver
+
+    # brachistochrone with pinned x0: shift the start point
+    p = brachistochrone.make_problem(degrees=(6, 6))
+    bs = make_batch_solver(p, SolveOptions(
+        ipm=IPMOptions(tol=1e-10, max_iter=60)))
+    h = 1e-5
+    nx = bs.nlp.layout.phases[0].nx
+    deltas = np.zeros((3, nx))
+    deltas[1, 0] = h
+    deltas[2, 1] = h
+    z0, zl, zu, cl, cu = bs.perturb_x0(3, 0, deltas)
+    res = bs.run(*(jnp.asarray(a) for a in (z0, zl, zu, cl, cu)))
+    assert np.all(np.asarray(res.status) == SOLVED)
+    sens = bs.x0_sensitivities(res)
+    obj = np.asarray(res.objective) / bs.scaled.obj_scale
+    fd_x = (obj[1] - obj[0]) / h
+    fd_y = (obj[2] - obj[0]) / h
+    nx = bs.nlp.layout.phases[0].nx
+    assert abs(sens[0, 0] - fd_x) < 5e-3 * max(1.0, abs(fd_x))
+    assert abs(sens[0, 1] - fd_y) < 5e-3 * max(1.0, abs(fd_y))
+    # pinned entries only
+    pinned_rows = np.isfinite(sens[0])
+    assert pinned_rows[:2].all()
