@@ -71,6 +71,7 @@ class MPCController:
         self._lam_prev = None
         self._zld_prev = None
         self._zud_prev = None
+        self._last_res = None
         self.solve_times = []
 
     def _shift(self, z: np.ndarray) -> np.ndarray:
@@ -140,6 +141,7 @@ class MPCController:
         self._lam_prev = np.asarray(res.lam)
         self._zld_prev = np.asarray(res.zl_dual)
         self._zud_prev = np.asarray(res.zu_dual)
+        self._last_res = res
         u_off = pl.var_offset + pl.npts * pl.nx
         u0 = self._z_prev[:, u_off : u_off + pl.nu] / \
             self.bs.scaled.var_scale[u_off : u_off + pl.nu][None, :]
@@ -150,6 +152,15 @@ class MPCController:
             "kkt_error": np.asarray(res.kkt_error),  # scaled-problem residual
         }
         return (u0[0] if x0.shape[0] == 1 and self.batch == 1 else u0), info
+
+    def value_gradient(self, phase: int = 0):
+        """dV/dx0 at the last measured state (batch, nx): the value-function
+        gradient from the converged duals (``BatchSolver.x0_sensitivities``)
+        — the sensitivity of the optimal cost to the measurement, free with
+        every step."""
+        if self._last_res is None:
+            raise RuntimeError("no step taken yet")
+        return self.bs.x0_sensitivities(self._last_res, phase=phase)
 
     def percentile_ms(self, q=50):
         times = self.solve_times[1:] or self.solve_times  # drop compile step

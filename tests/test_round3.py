@@ -121,3 +121,19 @@ def test_dual_sensitivities_match_finite_differences():
     # pinned entries only
     pinned_rows = np.isfinite(sens[0])
     assert pinned_rows[:2].all()
+
+
+def test_mpc_value_gradient():
+    from lpopc_tpu.parallel.mpc import MPCController
+
+    ctrl = MPCController(_double_integrator(), SolveOptions(tol=1e-8))
+    u0, info = ctrl.step(np.array([1.0, 0.0]))
+    g = ctrl.value_gradient()
+    assert g.shape == (1, 2) and np.all(np.isfinite(g))
+    # FD check on the first state component
+    h = 1e-5
+    u0b, infob = MPCController(
+        _double_integrator(), SolveOptions(tol=1e-8)
+    ).step(np.array([1.0 + h, 0.0]))
+    fd = (float(infob["objective"][0]) - float(info["objective"][0])) / h
+    assert abs(g[0, 0] - fd) < 5e-3 * max(1.0, abs(fd))
