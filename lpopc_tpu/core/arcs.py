@@ -117,6 +117,13 @@ def detect_control_arcs(
     if len(runs) > 1 and runs[-1][2] - runs[-1][1] + 1 < min_nodes:
         prev = runs.pop()
         runs[-1][2] = prev[2]
+    # mirror for a too-short FIRST run (the encoding loop's merge branch only
+    # fires for len(runs) > 1, so a 1-node saturation blip at t0 would
+    # otherwise survive as its own arc and feed a spurious extra phase into
+    # decompose_by_arcs): absorb it into its successor
+    while len(runs) > 1 and runs[0][2] - runs[0][1] + 1 < min_nodes:
+        head = runs.pop(0)
+        runs[0][1] = head[1]
     names = {0: "lower", 1: "interior", 2: "upper"}
     if hu is not None and hu_tol is None:
         hu_tol = 0.05 * max(float(np.max(np.abs(hu))), 1e-300)

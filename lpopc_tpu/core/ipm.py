@@ -515,14 +515,15 @@ def build_solver(
                 kdz1 = kv(dz1)
                 r1 = jnp.max(jnp.abs(rhs0 - kdz1))
                 dz1 = dz1 + solveK(rhs0 - kdz1)
-                # f64: the once-refined residual r1 is the divergence probe
-                # (margins below are tuned for it; saves a K-apply). f32: the
-                # floor/growth margins were tuned for the residual AFTER the
-                # second refinement round — measuring one round early made the
+                # f64: unchanged semantics — the once-refined residual r1 is
+                # the divergence probe, as it always was (margins below are
+                # tuned for it). f32 is the path that changed: its floor/growth
+                # margins are tuned for the residual AFTER the second
+                # refinement round, and measuring one round early made the
                 # inertia test reject legitimate endgame steps (every barrier-
                 # endgame iteration regularized -> MAX_ITER; caught by
-                # test_round2::test_f32_factorization_...), so spend the extra
-                # K-apply there.
+                # test_round2::test_f32_factorization_...) — so f32 spends one
+                # extra K-apply to measure post-round-2.
                 r_end = r1 if _fdt is None else jnp.max(jnp.abs(rhs0 - kv(dz1)))
                 # Absolute floor: a backward-stable solve leaves a residual of
                 # order eps * ||K|| ||dz|| (NOT eps * ||rhs||: the two differ by

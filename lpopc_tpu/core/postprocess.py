@@ -91,6 +91,10 @@ class Solution:
     # IPOPT-style warm starts across hp grids (None when not captured)
     zl_dual: Optional[np.ndarray] = None
     zu_dual: Optional[np.ndarray] = None
+    # grid_tol_schedule="adaptive" only: the final full-tolerance polish
+    # re-solve failed and this solution still carries the loose-tolerance
+    # kkt_error (a warning is logged when this is set)
+    polish_failed: bool = False
 
     @property
     def solved(self) -> bool:

@@ -687,7 +687,13 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
             return None
         if prev_max_err is None:
             return max(full_tol, 1e-5)
-        return max(full_tol, min(1e-5, 0.01 * prev_max_err))
+        # Cap by a fraction of the mesh tolerance as well: the loosened tol is
+        # keyed to the PREVIOUS grid's mesh error, which is typically orders of
+        # magnitude above the refined mesh's — without the cap the NLP residual
+        # can dominate estimate_errors on a near-converged mesh and drive
+        # over-refinement.
+        return max(full_tol, min(1e-5, 0.01 * prev_max_err,
+                                 0.1 * options.desired_relative_error))
 
     def _polish(sol, grid):
         """Final-mesh re-solve at the FULL tolerance (warm-started, same
@@ -697,7 +703,15 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
             return sol
         wp = warm_start_problem(problem, sol)
         polished = solve_on_mesh(wp, options, prev_sol=sol, grid=grid)
-        return polished if polished.status == SOLVED else sol
+        if polished.status == SOLVED:
+            return polished
+        log.warning(
+            "final full-tolerance polish failed (status %d); returning the "
+            "loose-tolerance solution (kkt_error %.2e > tol %.0e) with "
+            "polish_failed=True", polished.status, sol.kkt_error, full_tol,
+        )
+        sol.polish_failed = True
+        return sol
 
     for grid in range(max(1, options.max_grid_num)):
         sol = solve_on_mesh(

@@ -134,7 +134,7 @@ def make_segment_solver(
     if sk is None:
         raise ValueError(
             "segment sharding requires the structured block-KKT path "
-            "(options.kkt_mode='block'/'auto' with >1 segment)"
+            "(options.block_kkt='on'/'auto' with >1 segment)"
         )
 
     with segment_sharding(mesh, axis):

@@ -76,6 +76,13 @@ def test_arc_detection_units():
     arcs4 = detect_control_arcs(t, u4, 0.0, 3.5, min_nodes=2)
     assert [a.kind for a in arcs4] == ["upper", "lower"]
 
+    # a short blip at t0 is absorbed into its SUCCESSOR (the leading-run
+    # mirror of the trailing merge): no spurious extra arc/phase at t0
+    u5 = np.concatenate([[3.5], np.linspace(2.0, 1.0, 19), np.zeros(20)])
+    arcs5 = detect_control_arcs(t, u5, 0.0, 3.5, min_nodes=2)
+    assert [a.kind for a in arcs5] == ["interior", "lower"]
+    assert arcs5[0].k_start == 0
+
 
 def test_control_affinity():
     from lpopc_tpu.core.arcs import control_affinity
