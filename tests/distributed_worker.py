@@ -82,6 +82,34 @@ def main():
         flush=True,
     )
 
+    # Hybrid 2-D: instance axis ACROSS the two processes (the DCN analog,
+    # zero solver traffic), segment axis WITHIN each process's 4 local
+    # devices (the ICI analog — carries the border-Schur all-reduce).
+    from lpopc_tpu.parallel.hybrid import hybrid_mesh, make_hybrid_batch_solver
+
+    hmesh = hybrid_mesh()
+    assert hmesh.shape == {"dp": 2, "seg": 4}, hmesh.shape
+    # each dp row must be one process's local devices (ICI-aligned layout)
+    for row in range(2):
+        owners = {d.process_index for d in hmesh.devices[row]}
+        assert len(owners) == 1, f"dp row {row} spans processes {owners}"
+    hb = make_hybrid_batch_solver(
+        hypersensitive.make_problem(tf=40.0, degrees=(6,) * 16),
+        SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60),
+                     mesh_method="none", block_kkt="on"),
+        mesh=hmesh,
+    )
+    hz0, hzl, hzu, hcl, hcu = hb.nominal_local_inputs(4)
+    assert hz0.shape[0] == 2, hz0.shape  # 2 local instances per process
+    hres = hb.run_local(hz0, hzl, hzu, hcl, hcu)
+    hst = np.asarray(hres.status)
+    hok = bool(np.all(hst == SOLVED))
+    print(
+        f"WORKER {pid} hybrid_ok={hok} "
+        f"hybrid_objsum={float(np.sum(hres.objective)):.12f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

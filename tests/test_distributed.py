@@ -71,3 +71,14 @@ def test_two_process_distributed_solve():
         assert int(m.group(1)) == 1, out   # SOLVED
         seg.append(float(m.group(2)))
     assert abs(seg[0] - seg[1]) < 1e-9, seg
+    # hybrid instance×segment: both processes converge their local (nominal)
+    # instances and — instances being identical — agree on the local obj sum
+    hyb = []
+    for out in outs:
+        m = re.search(r"hybrid_ok=(\w+) hybrid_objsum=([-\d.]+)", out)
+        assert m, out
+        assert m.group(1) == "True", out
+        hyb.append(float(m.group(2)))
+    assert abs(hyb[0] - hyb[1]) < 1e-9, hyb
+    # hybrid local sum = 2 nominal instances; segment solve = same problem
+    assert abs(hyb[0] / 2.0 - seg[0]) < 1e-8, (hyb, seg)
