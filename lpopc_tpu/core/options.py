@@ -64,6 +64,10 @@ REGISTRY: tuple[OptionSpec, ...] = (
     OptionSpec("iteration_log_dir", "output-file-dir", str, None,
                doc="write per-grid IPM iteration traces grid-<k>-ipm-out.txt "
                    "(reference: grid-<k>Ipopt-out.txt)"),
+    OptionSpec("report_file", "report-file", str, None,
+               doc="write the combined solve report (per-grid NLP table + "
+                   "refinement history + final verdict, utils/report.py) "
+                   "after solve()"),
     OptionSpec("block_kkt", "block-kkt", str, "auto",
                choices=("auto", "on", "off"),
                doc="segment-block + border-Schur KKT factorization (core/block_kkt.py)"),

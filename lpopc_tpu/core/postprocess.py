@@ -95,6 +95,13 @@ class Solution:
     # re-solve failed and this solution still carries the loose-tolerance
     # kkt_error (a warning is logged when this is set)
     polish_failed: bool = False
+    # per-NLP-solve diagnostics (filled by solve_on_mesh)
+    wall_s: float = float("nan")
+    nlp_n: int = 0
+    nlp_m: int = 0
+    # per-grid rows for the combined report (filled by the hp driver; see
+    # utils/report.py — the reference's per-grid observability analog)
+    grid_stats: list = field(default_factory=list)
 
     @property
     def solved(self) -> bool:

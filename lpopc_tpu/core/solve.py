@@ -100,6 +100,9 @@ class SolveOptions:
     # Per-grid IPM iteration trace files grid-<k>-ipm-out.txt (the
     # reference's grid-<k>Ipopt-out.txt, LpNLPSolver.cpp:24-29).
     iteration_log_dir: str = None
+    # Combined solve report (per-grid NLP table + refinement history +
+    # final verdict; utils/report.py) written after solve().
+    report_file: str = None
     ipm: IPMOptions = None
 
     def ipm_options(self) -> IPMOptions:
@@ -533,12 +536,14 @@ def _solve_on_mesh_rt(
             res._replace(history=jax.tree_util.tree_map(np.asarray, history)),
             nlp,
         )
-    return extract_solution(
+    sol = extract_solution(
         problem, nlp.layout, nlp.ops, z, lam, obj,
         int(res.status), float(res.kkt_error), int(res.iterations),
         zl_dual=scaled.unscale_bound_duals(res.zl_dual),
         zu_dual=scaled.unscale_bound_duals(res.zu_dual),
     )
+    sol.wall_s, sol.nlp_n, sol.nlp_m = wall, nlp.n, nlp.m
+    return sol
 
 
 @traced
@@ -645,17 +650,28 @@ def solve_on_mesh(
             res._replace(history=jax.tree_util.tree_map(np.asarray, history)),
             nlp,
         )
-    return extract_solution(
+    sol = extract_solution(
         problem, nlp.layout, nlp.ops, z, lam, obj,
         int(res.status), float(res.kkt_error), int(res.iterations),
         zl_dual=scaled.unscale_bound_duals(res.zl_dual),
         zu_dual=scaled.unscale_bound_duals(res.zu_dual),
     )
+    sol.wall_s, sol.nlp_n, sol.nlp_m = wall, nlp.n, nlp.m
+    return sol
 
 
 @traced
 def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
     """Full hp-adaptive solve (the reference's outer refinement loop)."""
+    sol = _solve_hp(problem, options)
+    if options.report_file:
+        from ..utils.report import write_report
+
+        write_report(sol, options.report_file, problem=problem, options=options)
+    return sol
+
+
+def _solve_hp(problem: Problem, options: SolveOptions) -> Solution:
     from .options import validate
 
     options = validate(options)
@@ -671,6 +687,17 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
         ])
     mesh_history = [_mesh_signature(problem)]
     error_history = []
+    grid_stats = []
+
+    def _record(s, grid, note=""):
+        """One combined-report row per NLP solve (utils/report.py)."""
+        grid_stats.append({
+            "grid": grid, "n": s.nlp_n, "m": s.nlp_m, "status": int(s.status),
+            "iterations": int(s.iterations), "kkt_error": float(s.kkt_error),
+            "objective": float(s.objective), "wall_s": float(s.wall_s),
+            "mesh": _mesh_signature(problem), "max_error": None, "note": note,
+        })
+
     sol = None
     prev_sol = None
     refiner_state = None
@@ -703,7 +730,14 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
             return sol
         wp = warm_start_problem(problem, sol)
         polished = solve_on_mesh(wp, options, prev_sol=sol, grid=grid)
+        _record(polished, grid, note="polish")
         if polished.status == SOLVED:
+            # carry the hp-loop metadata onto the fresh Solution
+            polished.grids = sol.grids
+            polished.mesh_history = sol.mesh_history
+            polished.error_history = sol.error_history
+            polished.max_relative_error = sol.max_relative_error
+            polished.grid_stats = grid_stats
             return polished
         log.warning(
             "final full-tolerance polish failed (status %d); returning the "
@@ -718,6 +752,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
             problem, options, prev_sol=prev_sol, grid=grid + 1,
             nlp_tol=_grid_tol(),
         )
+        _record(sol, grid + 1)
         if sol.status != SOLVED and grid > 0:
             # Warm start led the NLP astray (local blowup / divergence): retry
             # this mesh cold from the user's original guess before giving up.
@@ -735,10 +770,12 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
             cold_sol = solve_on_mesh(
                 cold, options, grid=grid + 1, nlp_tol=_grid_tol()
             )
+            _record(cold_sol, grid + 1, note="cold-restart")
             if cold_sol.status == SOLVED or cold_sol.kkt_error < sol.kkt_error:
                 sol = cold_sol
         sol.grids = grid + 1
         sol.mesh_history = list(mesh_history)
+        sol.grid_stats = grid_stats
         if options.checkpoint_dir:
             from ..utils.checkpoint import save_checkpoint
 
@@ -762,6 +799,8 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
         sol.error_history = error_history
         max_err = max((float(np.max(e)) if e.size else 0.0) for e in errs)
         sol.max_relative_error = max_err
+        if grid_stats:
+            grid_stats[-1]["max_error"] = max_err
         if options.verbose:
             log.info(
                 "grid %d: max relative error %.3e (tol %.1e), mesh %s",
@@ -769,12 +808,7 @@ def solve(problem: Problem, options: SolveOptions = SolveOptions()) -> Solution:
                 [len(ph.mesh_degrees) for ph in problem.phases],
             )
         if max_err <= options.desired_relative_error:
-            polished = _polish(sol, grid + 1)
-            polished.grids = sol.grids
-            polished.mesh_history = sol.mesh_history
-            polished.error_history = sol.error_history
-            polished.max_relative_error = max_err
-            return polished
+            return _polish(sol, grid + 1)
         if grid == options.max_grid_num - 1:
             sol = _polish(sol, grid + 1)
             sol.status = OCP_REACH_MAX_GRID

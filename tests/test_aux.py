@@ -84,3 +84,29 @@ def test_ph_refine_logic():
     assert f[-1] == 1.0
     d2, f2, ok2 = ph_refine_phase((6,), (-1.0, 1.0), np.array([1e-9]), 1e-6, 4, 16)
     assert ok2 and d2 == (6,) and f2 == (-1.0, 1.0)
+
+
+def test_grid_stats_and_combined_report(tmp_path):
+    """Round-4: per-NLP-solve grid_stats on the Solution + the combined
+    report artifact (utils/report.py, options.report_file)."""
+    from lpopc_tpu.models import brachistochrone
+    from lpopc_tpu.utils.report import format_report
+
+    p = brachistochrone.make_problem(degrees=(6, 6))
+    rf = tmp_path / "solve-report.txt"
+    sol = solve(p, SolveOptions(report_file=str(rf)))
+    assert sol.solved
+    assert sol.grid_stats, "grid_stats must be populated by the hp loop"
+    row = sol.grid_stats[0]
+    assert row["grid"] == 1 and row["n"] > 0 and row["m"] > 0
+    assert row["iterations"] > 0 and np.isfinite(row["wall_s"])
+    assert row["status"] == 1
+    # the grids that measured a mesh error carry it
+    assert any(r["max_error"] is not None for r in sol.grid_stats)
+    txt = rf.read_text()
+    assert "NLP solves (hp loop):" in txt
+    assert "SOLVED" in txt and "phase 1:" in txt
+    assert "mesh refinement history:" in txt
+    # report also renders standalone (no problem/options context)
+    standalone = format_report(sol)
+    assert "objective" in standalone and "status" in standalone
