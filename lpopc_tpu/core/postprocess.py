@@ -99,6 +99,10 @@ class Solution:
     wall_s: float = float("nan")
     nlp_n: int = 0
     nlp_m: int = 0
+    # max INTER-NODE path/state-bound violation at the fine check points
+    # (refine.estimate_path_violations — observability the reference lacks:
+    # it never measures constraint excursions between collocation nodes)
+    path_violation: float = float("nan")
     # per-grid rows for the combined report (filled by the hp driver; see
     # utils/report.py — the reference's per-grid observability analog)
     grid_stats: list = field(default_factory=list)

@@ -86,6 +86,85 @@ def estimate_errors(problem: Problem, sol: Solution) -> list:
     ]
 
 
+def segment_path_violations(ph, psol: PhaseSolution) -> np.ndarray:
+    """Per-segment max INTER-NODE constraint violation at the fine check
+    points: path-function rows against their bounds plus interior state
+    bounds against the interpolated state.
+
+    The reference explicitly does NOT measure path-constraint error
+    (``doc/LpopcDoc.tex:1139`` — constraints hold only at collocation
+    points, excursions between nodes are invisible). This estimator closes
+    that observability gap: it reuses the same one-extra-LGR-point fine
+    grid as :func:`segment_errors` and reports the max bound violation,
+    normalized by ``1 + |bound|`` (relative, like the state error).
+    Measurement only — refinement decisions remain reference-parity
+    (state-error driven).
+    """
+    degrees = psol.mesh_degrees
+    fractions = psol.mesh_fractions
+    t0, tf = psol.t0, psol.tf
+    X, U = psol.x, psol.u
+    tau_state = 2.0 * (psol.t_state - t0) / max(tf - t0, 1e-300) - 1.0
+    tau_col = 2.0 * (psol.t_col - t0) / max(tf - t0, 1e-300) - 1.0
+    x_lo = np.asarray(ph.x_bounds[0], float).reshape(-1)
+    x_hi = np.asarray(ph.x_bounds[1], float).reshape(-1)
+    x_norm = 1.0 + np.minimum(np.abs(x_lo), np.abs(x_hi))
+    x_norm = np.where(np.isfinite(x_norm), x_norm, 1.0)
+    if ph.npath:
+        p_lo = np.asarray(ph.path_bounds[0], float).reshape(-1)
+        p_hi = np.asarray(ph.path_bounds[1], float).reshape(-1)
+        p_norm = 1.0 + np.minimum(np.abs(p_lo), np.abs(p_hi))
+        p_norm = np.where(np.isfinite(p_norm), p_norm, 1.0)
+    viols = np.zeros(len(degrees))
+    off = 0
+    for k, nk in enumerate(degrees):
+        a, b = fractions[k], fractions[k + 1]
+        half = (b - a) / 2.0
+        nf = nk + 1
+        tau_f, _ = lgr_nodes_weights(nf)
+        tau_f_phase = a + (tau_f + 1.0) * half
+        seg_state = tau_state[off : off + nk + 1]
+        seg_col = tau_col[off : off + nk]
+        Xf = interpolation_matrix(seg_state, tau_f_phase) @ X[off : off + nk + 1]
+        if ph.nu > 0:
+            Uf = interpolation_matrix(seg_col, tau_f_phase) @ U[off : off + nk]
+        else:
+            Uf = np.zeros((nf, 0))
+        v = 0.0
+        with np.errstate(invalid="ignore"):
+            lo_v = (x_lo[None, :] - Xf) / x_norm[None, :]
+            hi_v = (Xf - x_hi[None, :]) / x_norm[None, :]
+        for arr in (lo_v, hi_v):
+            arr = arr[np.isfinite(arr)]
+            if arr.size:
+                v = max(v, float(np.max(arr)))
+        if ph.npath:
+            t_f = (tau_f_phase + 1.0) * (tf - t0) / 2.0 + t0
+            C = np.asarray(
+                jax.vmap(ph.path, in_axes=(0, 0, 0, None))(
+                    jnp.asarray(Xf), jnp.asarray(Uf), jnp.asarray(t_f),
+                    jnp.asarray(psol.q),
+                )
+            ).reshape(nf, ph.npath)
+            with np.errstate(invalid="ignore"):
+                lo_c = (p_lo[None, :] - C) / p_norm[None, :]
+                hi_c = (C - p_hi[None, :]) / p_norm[None, :]
+            for arr in (lo_c, hi_c):
+                arr = arr[np.isfinite(arr)]
+                if arr.size:
+                    v = max(v, float(np.max(arr)))
+        viols[k] = max(v, 0.0)
+        off += nk
+    return viols
+
+
+def estimate_path_violations(problem: Problem, sol: Solution) -> list:
+    return [
+        segment_path_violations(ph, psol)
+        for ph, psol in zip(problem.phases, sol.phases)
+    ]
+
+
 #: degree buckets for shape-bucketed meshes (recompile-free hp refinement).
 #: Deliberately coarse: every distinct (bucket degree, segment count)
 #: signature costs one XLA compile (60-120 s on a tunneled TPU), while extra

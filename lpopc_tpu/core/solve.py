@@ -737,6 +737,7 @@ def _solve_hp(problem: Problem, options: SolveOptions) -> Solution:
             polished.mesh_history = sol.mesh_history
             polished.error_history = sol.error_history
             polished.max_relative_error = sol.max_relative_error
+            polished.path_violation = sol.path_violation
             polished.grid_stats = grid_stats
             return polished
         log.warning(
@@ -799,8 +800,21 @@ def _solve_hp(problem: Problem, options: SolveOptions) -> Solution:
         sol.error_history = error_history
         max_err = max((float(np.max(e)) if e.size else 0.0) for e in errs)
         sol.max_relative_error = max_err
+        from .refine import estimate_path_violations
+
+        viols = estimate_path_violations(problem, sol)
+        sol.path_violation = max(
+            (float(np.max(v)) if v.size else 0.0) for v in viols
+        )
+        if sol.path_violation > options.desired_relative_error and options.verbose:
+            log.warning(
+                "grid %d: inter-node path/bound violation %.3e (not driving "
+                "refinement; reference never measures this)",
+                grid + 1, sol.path_violation,
+            )
         if grid_stats:
             grid_stats[-1]["max_error"] = max_err
+            grid_stats[-1]["path_violation"] = sol.path_violation
         if options.verbose:
             log.info(
                 "grid %d: max relative error %.3e (tol %.1e), mesh %s",

@@ -86,6 +86,10 @@ def format_report(sol, problem=None, options=None) -> str:
     add(f"grids             {sol.grids}")
     mre = getattr(sol, "max_relative_error", np.nan)
     add(f"max_relative_err  {mre:.3e}")
+    pv = getattr(sol, "path_violation", np.nan)
+    if np.isfinite(pv):
+        add(f"internode_viol    {pv:.3e}  (max path/bound excursion between "
+            "collocation nodes)")
     if getattr(sol, "polish_failed", False):
         add("WARNING           final full-tolerance polish failed; "
             "kkt_error above the requested NLP tolerance")

@@ -110,3 +110,60 @@ def test_grid_stats_and_combined_report(tmp_path):
     # report also renders standalone (no problem/options context)
     standalone = format_report(sol)
     assert "objective" in standalone and "status" in standalone
+
+
+def test_internode_path_violation_measurement():
+    """Round-4: inter-node path/state-bound violation estimator — the
+    observability the reference never provides (doc/LpopcDoc.tex:1139)."""
+    from lpopc_tpu.core.refine import (
+        estimate_path_violations, segment_path_violations,
+    )
+    from lpopc_tpu.models import brysondenham
+
+    # Coarse mesh: the x1 <= l bound arc is under-resolved, so the state
+    # overshoots the bound BETWEEN collocation nodes even though every node
+    # satisfies it. The estimator must see a positive violation.
+    sol_c = solve(
+        brysondenham.make_problem(degrees=(4, 4)),
+        SolveOptions(mesh_method="none", mesh_bucketing="off"),
+    )
+    assert sol_c.solved
+    p = brysondenham.make_problem(degrees=(4, 4))
+    v_c = estimate_path_violations(p, sol_c)[0]
+    assert np.max(v_c) > 1e-7, v_c
+
+    # With refinement, the converged solution's excursion is tiny and the
+    # Solution carries the measurement.
+    sol_f = solve(brysondenham.make_problem(), SolveOptions())
+    assert sol_f.solved
+    assert np.isfinite(sol_f.path_violation)
+    assert sol_f.path_violation < 5e-5, sol_f.path_violation
+    assert np.max(v_c) > 3 * sol_f.path_violation
+
+    # Path-FUNCTION rows (npath > 0): speed-limited double integrator; a
+    # deliberately violated trajectory must register in the path rows.
+    import jax.numpy as jnp
+
+    ph = Phase(
+        nx=2, nu=1,
+        dynamics=lambda x, u, t, q: jnp.array([x[1], u[0]]),
+        lagrange=lambda x, u, t, q: 0.5 * u[0] ** 2,
+        path=lambda x, u, t, q: jnp.array([x[1] ** 2]),
+        npath=1, path_bounds=(np.array([0.0]), np.array([2.25])),  # |v| <= 1.5
+        x0_bounds=(np.zeros(2), np.zeros(2)),
+        xf_bounds=(np.array([2.0, 0.0]), np.array([2.0, 0.0])),
+        x_bounds=(np.full(2, -10.0), np.full(2, 10.0)),
+        u_bounds=(-20.0, 20.0), t0_bounds=(0.0, 0.0), tf_bounds=(2.0, 2.0),
+        mesh_degrees=(6, 6), mesh_fractions=(-1.0, 0.0, 1.0),
+    )
+    prob = Problem(phases=(ph,))
+    sol = solve(prob, SolveOptions(mesh_method="none", mesh_bucketing="off"))
+    assert sol.solved
+    v = segment_path_violations(ph, sol.phases[0])
+    assert np.all(np.isfinite(v))
+    # fake an out-of-envelope trajectory: inflate the speed trace
+    import copy
+    ps_bad = copy.copy(sol.phases[0])
+    ps_bad.x = np.array(sol.phases[0].x) * np.array([1.0, 2.0])[None, :]
+    v_bad = segment_path_violations(ph, ps_bad)
+    assert np.max(v_bad) > 0.1, v_bad
