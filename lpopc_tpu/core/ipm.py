@@ -107,9 +107,16 @@ class IPMOptions:
     # equilibration enforces in practice. (SURVEY §7 hard-part 3.)
     factor_dtype: str = "f64"
     # Barrier strategy: "monotone" (Fiacco-McCormick, mu shrinks only when
-    # the barrier subproblem is solved) or "adaptive" (Mehrotra-style
-    # probing: mu tracks sigma * mean complementarity each iteration —
-    # reference parity with IPOPT's mu_strategy=adaptive, LpNLPSolver.cpp:28).
+    # the barrier subproblem is solved), "adaptive" (LOQO/Vanderbei
+    # centrality rule: mu tracks sigma * mean complementarity each iteration —
+    # reference parity with IPOPT's mu_strategy=adaptive, LpNLPSolver.cpp:28),
+    # or "probing" (Mehrotra affine-scaling probe: per iteration, solve the
+    # mu=0 predictor system WITH THE SAME factorization — one extra condensed
+    # solve, i.e. 2 matvecs in apply mode — measure how much complementarity
+    # the pure Newton step could remove, and set mu = (mu_aff/mu)^3 * mu.
+    # This is IPOPT's other adaptive oracle; it front-loads large mu cuts on
+    # well-centred problems where the monotone schedule spends iterations
+    # walking mu down one kappa_mu factor at a time).
     mu_strategy: str = "monotone"
     # Feasibility restoration (IPOPT-style, invoked on filter deadlock at an
     # infeasible iterate): Gauss-Newton minimize-||c|| iterations reusing the
@@ -435,12 +442,7 @@ def build_solver(
             free_s = (~has_lo[n:]) & (~has_up[n:]) & (~fixed[n:])
             sigma_s = jnp.where(free_s, jnp.maximum(sigma_s, 1e-8), sigma_s)
 
-            # mu-perturbed dual residuals (a: z rows, b: s rows)
-            mu_term = -jnp.where(has_lo, mu / gl, 0.0) + jnp.where(has_up, mu / gu, 0.0)
-            a = g_z + jtv_(lam) + mu_term[:n]
-            a = jnp.where(fixed[:n], 0.0, a)
-            b = -lam + mu_term[n:]
-            b = jnp.where(fixed[n:], 0.0, b)
+            # mu-perturbed dual residuals (a: z rows, b: s rows).
             # Feasibility-restoration mode (the reference inherits IPOPT's
             # restoration phase through OptimizeTNLP, LpNLPSolver.cpp:45).
             # Entered when the filter deadlocks at an infeasible iterate (see
@@ -451,8 +453,19 @@ def build_solver(
             # minimize-‖c‖ subproblem REUSING the same condensed KKT
             # factorization (no second solver). The line search then demands
             # plain sufficient decrease of θ instead of the filter test.
-            a = jnp.where(in_resto & ~fixed[:n], mu_term[:n], a)
-            b = jnp.where(in_resto & ~fixed[n:], mu_term[n:], b)
+            jtv_lam = jtv_(lam)
+
+            def dual_rhs(mu_x):
+                mt = -jnp.where(has_lo, mu_x / gl, 0.0) + jnp.where(has_up, mu_x / gu, 0.0)
+                a_ = jnp.where(fixed[:n], 0.0, g_z + jtv_lam + mt[:n])
+                b_ = jnp.where(fixed[n:], 0.0, -lam + mt[n:])
+                a_ = jnp.where(in_resto & ~fixed[:n], mt[:n], a_)
+                b_ = jnp.where(in_resto & ~fixed[n:], mt[n:], b_)
+                return a_, b_, mt
+
+            probing = opt.mu_strategy == "probing"
+            if not probing:
+                a, b, mu_term = dual_rhs(mu)
 
             delta_c = opt.delta_c
 
@@ -477,6 +490,68 @@ def build_solver(
                     dlam_ = d * (jv_(dz_) - rc - rb / sig_s)
                     ds_ = (dlam_ + rb) / sig_s
                     return dz_, ds_, dlam_
+
+                if probing:
+                    # Mehrotra affine-scaling probe (IPOPT's mu-oracle
+                    # "probing"): solve the mu=0 predictor system with the
+                    # factorization just built (one extra condensed solve +
+                    # one refinement round — 4 matvecs in apply mode), take
+                    # the fraction-to-boundary affine step lengths, and set
+                    # sigma = (mu_aff/mu)^3. Centred iterates where the pure
+                    # Newton step keeps the gaps open get sigma ~ 1 (stay);
+                    # iterates where it would slash complementarity get
+                    # sigma ~ 0 (cut mu hard) — the front-loaded mu schedule
+                    # the monotone rule walks down one kappa_mu at a time.
+                    a0, b0, _ = dual_rhs(jnp.zeros((), dtype))
+                    rhs_a = -a0 - jtv_(d * (r_p + b0 / sig_s))
+                    dza0 = solveK(rhs_a)
+                    dza0 = dza0 + solveK(rhs_a - kv(dza0))
+                    dza, dsa, _dla = finish(dza0, -b0, -r_p)
+                    dwa = jnp.concatenate([dza, dsa])
+                    dzl_a = jnp.where(has_lo, -zl_d - zl_d * dwa / gl, 0.0)
+                    dzu_a = jnp.where(has_up, -zu_d + zu_d * dwa / gu, 0.0)
+                    tau_a = 0.995
+                    ap = jnp.clip(jnp.minimum(
+                        _masked_min(-tau_a * gl / jnp.minimum(dwa, -1e-300),
+                                    has_lo & (dwa < 0)),
+                        _masked_min(tau_a * gu / jnp.maximum(dwa, 1e-300),
+                                    has_up & (dwa > 0)),
+                    ), 0.0, 1.0)
+                    ad = jnp.clip(jnp.minimum(
+                        _masked_min(-tau_a * zl_d / jnp.minimum(dzl_a, -1e-300),
+                                    has_lo & (dzl_a < 0)),
+                        _masked_min(-tau_a * zu_d / jnp.minimum(dzu_a, -1e-300),
+                                    has_up & (dzu_a < 0)),
+                    ), 0.0, 1.0)
+                    comp0 = (
+                        jnp.sum(jnp.where(has_lo, zl_d * gl, 0.0))
+                        + jnp.sum(jnp.where(has_up, zu_d * gu, 0.0))
+                    ) / jnp.maximum(1.0, nb)
+                    comp_a = (
+                        jnp.sum(jnp.where(
+                            has_lo, (gl + ap * dwa) * (zl_d + ad * dzl_a), 0.0))
+                        + jnp.sum(jnp.where(
+                            has_up, (gu - ap * dwa) * (zu_d + ad * dzu_a), 0.0))
+                    ) / jnp.maximum(1.0, nb)
+                    sig_m = jnp.clip(
+                        (jnp.maximum(comp_a, 0.0)
+                         / jnp.maximum(comp0, 1e-300)) ** 3,
+                        1e-4, 1.0,
+                    )
+                    mu_t = jnp.clip(
+                        sig_m * comp0, mu_min, jnp.asarray(opt.mu_init, dtype)
+                    )
+                    # a failed probe (non-finite affine step: factorization is
+                    # being rejected this reg round anyway) or restoration
+                    # mode (mu frozen) keeps the incoming mu
+                    mu_t = jnp.where(
+                        in_resto | (nb == 0) | ~jnp.all(jnp.isfinite(dwa)),
+                        mu, mu_t,
+                    )
+                    aa, bb, _ = dual_rhs(mu_t)
+                else:
+                    mu_t = mu
+                    aa, bb = a, b
 
                 def csolve(ra, rb, rc):
                     """Solve the delta_c-regularized Newton system
@@ -507,7 +582,7 @@ def build_solver(
                 # csolve(-a, -b, -r_p) condensed rhs, so the twice-refined dz1
                 # is both the inertia probe and the step (one shared chain —
                 # 3 solves + 3 K-applies instead of the naive 5 + 4).
-                rhs0 = -a - jtv_(d * (r_p + b / sig_s))
+                rhs0 = -aa - jtv_(d * (r_p + bb / sig_s))
                 dz0 = solveK(rhs0)
                 kdz0 = kv(dz0)
                 r0 = jnp.max(jnp.abs(rhs0 - kdz0))
@@ -549,7 +624,7 @@ def build_solver(
                     & ((r_end <= growth * r0 + 1e-300) | (r_end <= floor))
                 )
 
-                dz, ds, dlam = finish(dz1, -b, -r_p)
+                dz, ds, dlam = finish(dz1, -bb, -r_p)
                 # Full-KKT iterative refinement: correct the step against the
                 # TRUE Newton system (no delta_c on the constraint row), using
                 # the condensed factorization as the solver. Removes both the
@@ -564,9 +639,9 @@ def build_solver(
                     else max(2, opt.max_refine)
                 )
                 for _ in range(n_refine):
-                    e1 = -a - (hv_(dz) + wdiag * dz + jtv_(dlam))
+                    e1 = -aa - (hv_(dz) + wdiag * dz + jtv_(dlam))
                     e1 = jnp.where(fixed[:n], 0.0, e1)
-                    e2 = jnp.where(fixed[n:], 0.0, -b - (sig_s * ds - dlam))
+                    e2 = jnp.where(fixed[n:], 0.0, -bb - (sig_s * ds - dlam))
                     e3 = -r_p - (jv_(dz) - ds)
                     cz, cs, clam = csolve(e1, e2, e3)
                     dz = dz + cz
@@ -574,41 +649,50 @@ def build_solver(
                     dlam = dlam + clam
                 ds = jnp.where(fixed[n:], 0.0, ds)
                 dz = jnp.where(fixed[:n], 0.0, dz)
-                return dz, ds, dlam, ok, (r0, r_end)
+                return dz, ds, dlam, ok, (r0, r_end), mu_t
 
             # regularization loop: grow delta_w until the factorization succeeds
             def reg_cond(carry):
-                k, delta_w, _, _, _, ok, _ = carry
+                k, delta_w, _, _, _, ok, _, _ = carry
                 return (~ok) & (k < opt.max_reg)
 
             def reg_body(carry):
-                k, delta_w, _, _, _, _, _ = carry
-                dz, ds, dlam, ok, diag = make_step(delta_w)
+                k, delta_w, _, _, _, _, _, _ = carry
+                dz, ds, dlam, ok, diag, mu_t = make_step(delta_w)
                 next_delta = jnp.where(
                     delta_w == 0.0,
                     jnp.maximum(opt.delta_w0, delta_last / 3.0),
                     delta_w * 10.0,
                 )
-                return (k + 1, next_delta, dz, ds, dlam, ok, diag)
+                return (k + 1, next_delta, dz, ds, dlam, ok, diag, mu_t)
 
             zeros_n = jnp.zeros((n,), dtype)
             zeros_m = jnp.zeros((m,), dtype)
             zero_ = jnp.zeros((), dtype)
             k0 = (0, delta_start, zeros_n, zeros_m, zeros_m, jnp.asarray(False),
-                  (zero_, zero_))
-            k, delta_next, dz, ds, dlam, ok, reg_diag = jax.lax.while_loop(
+                  (zero_, zero_), mu)
+            k, delta_next, dz, ds, dlam, ok, reg_diag, mu_u = jax.lax.while_loop(
                 reg_cond, reg_body, k0
             )
+            # mu actually used in this iteration's step: the probe's choice
+            # under "probing", the incoming mu otherwise (mu_t == mu there).
+            # Every downstream mu-consistent quantity (dual directions,
+            # fraction-to-boundary tau, barrier merit, safeguards) uses mu_u.
+            if probing:
+                mu_term = (
+                    -jnp.where(has_lo, mu_u / gl, 0.0)
+                    + jnp.where(has_up, mu_u / gu, 0.0)
+                )
             delta_used = jnp.where(
                 k > 1, delta_next / 10.0, delta_start
             )
 
             dw = jnp.concatenate([dz, ds])
-            dzl_d = jnp.where(has_lo, mu / gl - zl_d - zl_d * dw / gl, 0.0)
-            dzu_d = jnp.where(has_up, mu / gu - zu_d + zu_d * dw / gu, 0.0)
+            dzl_d = jnp.where(has_lo, mu_u / gl - zl_d - zl_d * dw / gl, 0.0)
+            dzu_d = jnp.where(has_up, mu_u / gu - zu_d + zu_d * dw / gu, 0.0)
 
             # fraction-to-boundary
-            tau = jnp.maximum(opt.tau_min, 1.0 - mu)
+            tau = jnp.maximum(opt.tau_min, 1.0 - mu_u)
             alpha_l = _masked_min(-tau * gl / jnp.minimum(dw, -1e-300), has_lo & (dw < 0))
             alpha_u = _masked_min(tau * gu / jnp.maximum(dw, 1e-300), has_up & (dw > 0))
             alpha_max = jnp.clip(jnp.minimum(alpha_l, alpha_u), 0.0, 1.0)
@@ -622,12 +706,14 @@ def build_solver(
             # entry; near feasibility (switching condition) demand Armijo
             # decrease of phi. This is what lets steps through when an l1
             # merit function would reject everything (Maratos-type stalls).
-            phi0 = barrier_phi(w, mu)
-            th0 = theta(w)
+            phi0 = barrier_phi(w, mu_u)
+            # theta(w) = sum|c(z) - s| with c carried in gjc — no fresh
+            # constraints evaluation (r_p above is exactly c_val - s)
+            th0 = jnp.sum(jnp.abs(r_p))
 
             def barrier_only(w_):
                 gl_, gu_ = gaps(w_)
-                return -mu * (
+                return -mu_u * (
                     jnp.sum(jnp.where(has_lo, jnp.log(gl_), 0.0))
                     + jnp.sum(jnp.where(has_up, jnp.log(gu_), 0.0))
                 )
@@ -648,8 +734,8 @@ def build_solver(
             gu_safe = jnp.where(has_up, gu, 1.0)
             grad_phi = (
                 jnp.concatenate([g_z, jnp.zeros((m,), dtype)])
-                - jnp.where(has_lo, mu / gl_safe, 0.0)
-                + jnp.where(has_up, mu / gu_safe, 0.0)
+                - jnp.where(has_lo, mu_u / gl_safe, 0.0)
+                + jnp.where(has_up, mu_u / gu_safe, 0.0)
             )
             dphi = jnp.dot(jnp.where(fixed, 0.0, grad_phi), dw)
             filter_active = (
@@ -660,7 +746,7 @@ def build_solver(
                 w_t = w + alpha * dw
                 rp_t = constraints(w_t[:n]) - w_t[n:]   # one eval serves
                 th_t = jnp.sum(jnp.abs(rp_t))           # theta AND phi_R
-                phi_t = barrier_phi(w_t, mu)
+                phi_t = barrier_phi(w_t, mu_u)
                 finite = jnp.isfinite(th_t) & jnp.isfinite(phi_t)
                 dominated = jnp.any(
                     filter_active & (th_t >= f_theta) & (phi_t >= f_phi)
@@ -747,12 +833,12 @@ def build_solver(
             gl_n, gu_n = gaps(w_new)
             zl_new = jnp.where(
                 has_lo,
-                jnp.clip(zl_new, mu / (opt.kappa_sigma * gl_n), opt.kappa_sigma * mu / gl_n),
+                jnp.clip(zl_new, mu_u / (opt.kappa_sigma * gl_n), opt.kappa_sigma * mu_u / gl_n),
                 0.0,
             )
             zu_new = jnp.where(
                 has_up,
-                jnp.clip(zu_new, mu / (opt.kappa_sigma * gu_n), opt.kappa_sigma * mu / gu_n),
+                jnp.clip(zu_new, mu_u / (opt.kappa_sigma * gu_n), opt.kappa_sigma * mu_u / gu_n),
                 0.0,
             )
 
@@ -764,8 +850,15 @@ def build_solver(
 
             # barrier update
             err_parts, gjc_new = kkt_error_parts(w_new, lam_new, zl_new, zu_new)
-            e_mu = error_from_parts(err_parts, mu)
-            if opt.mu_strategy == "adaptive":
+            e_mu = error_from_parts(err_parts, mu_u)
+            if probing:
+                # the probe already chose this iteration's mu; carry it, and
+                # flush the filter on big moves (entries store phi at old mu)
+                mu_next = jnp.where(nb > 0, mu_u, mu)
+                f_count = jnp.where(
+                    (mu_next < 0.2 * mu) | (mu_next > 5.0 * mu), 0, f_count
+                )
+            elif opt.mu_strategy == "adaptive":
                 # Adaptive barrier (reference parity: IPOPT runs
                 # mu_strategy=adaptive, LpNLPSolver.cpp:28). LOQO/Vanderbei
                 # centrality rule: mu tracks the average complementarity,
@@ -800,6 +893,9 @@ def build_solver(
                 f_count = jnp.where(mu_next != mu, 0, f_count)
 
             e_0 = error_from_parts(err_parts, jnp.zeros((), dtype))
+            # theta at the accepted point from the carried constraint values
+            # (gjc_new[2] is c(w_new) — no fresh transcription evaluation)
+            th_new = jnp.sum(jnp.abs(gjc_new[2] - w_new[n:]))
             status_new = jnp.where(e_0 <= tol_eff, SOLVED, status)
             status_new = jnp.where(bad & (it > 2), FAILED, status_new)
             status_new = jnp.where(
@@ -810,11 +906,11 @@ def build_solver(
                 lin_err = jnp.max(jnp.abs(jv_(dz) - ds + r_p)) if m > 0 else jnp.zeros((), dtype)
                 hist_new = {
                     "kkt": hist["kkt"].at[slot].set(e_0),
-                    "mu": hist["mu"].at[slot].set(mu),
+                    "mu": hist["mu"].at[slot].set(mu_u),
                     "alpha": hist["alpha"].at[slot].set(alpha),
                     "alpha_max": hist["alpha_max"].at[slot].set(alpha_max),
                     "delta_w": hist["delta_w"].at[slot].set(delta_used),
-                    "theta": hist["theta"].at[slot].set(theta(w_new)),
+                    "theta": hist["theta"].at[slot].set(th_new),
                     "ls_iters": hist["ls_iters"].at[slot].set(jj),
                     "lin_err": hist["lin_err"].at[slot].set(lin_err),
                     "dphi": hist["dphi"].at[slot].set(dphi),
@@ -855,7 +951,6 @@ def build_solver(
                 | (ls_fails >= 8)
             )
             ls_fails = jnp.where(stuck, 0, ls_fails)
-            th_new = theta(w_new)
             # restoration exit: target met, iteration cap, or stuck inside it
             resto_target = jnp.maximum(0.1 * theta_entry, 0.01 * theta_min)
             exit_resto = in_resto & (

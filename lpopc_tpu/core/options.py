@@ -59,8 +59,10 @@ REGISTRY: tuple[OptionSpec, ...] = (
     OptionSpec("mu_init", "mu-init", float, 1e-1, 0.0, 10.0,
                doc="initial barrier parameter"),
     OptionSpec("mu_strategy", "mu-strategy", str, "monotone",
-               choices=("monotone", "adaptive"),
-               doc="barrier update rule (reference runs IPOPT mu_strategy=adaptive)"),
+               choices=("monotone", "adaptive", "probing"),
+               doc="barrier update rule (reference runs IPOPT mu_strategy="
+                   "adaptive; 'probing' is the Mehrotra affine-scaling "
+                   "mu-oracle, 'adaptive' the LOQO centrality rule)"),
     OptionSpec("iteration_log_dir", "output-file-dir", str, None,
                doc="write per-grid IPM iteration traces grid-<k>-ipm-out.txt "
                    "(reference: grid-<k>Ipopt-out.txt)"),
