@@ -504,8 +504,9 @@ def build_solver(
                     # the monotone rule walks down one kappa_mu at a time.
                     a0, b0, _ = dual_rhs(jnp.zeros((), dtype))
                     rhs_a = -a0 - jtv_(d * (r_p + b0 / sig_s))
+                    # unrefined solve: the probe only steers mu, so the f64
+                    # backward error of a single solve is plenty
                     dza0 = solveK(rhs_a)
-                    dza0 = dza0 + solveK(rhs_a - kv(dza0))
                     dza, dsa, _dla = finish(dza0, -b0, -r_p)
                     dwa = jnp.concatenate([dza, dsa])
                     dzl_a = jnp.where(has_lo, -zl_d - zl_d * dwa / gl, 0.0)
