@@ -170,11 +170,12 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     problem = brachistochrone.make_problem(degrees=(6, 6))
-    # Mehrotra-probing barrier oracle: 14 iterations vs monotone's 16 at the
-    # same 1e-8 tolerance / identical objectives (A/B: scripts/exp_probing.py,
-    # 390.5 vs 369.1 solves/s on the chip)
+    # Mehrotra predictor-corrector barrier oracle: 13 iterations vs the
+    # monotone schedule's 16 at the same 1e-8 tolerance / identical
+    # objectives (A/B: scripts/exp_probing.py — monotone 369.1, probing
+    # 390.5, mehrotra 422.4 solves/s on the chip)
     options = SolveOptions(ipm=IPMOptions(tol=1e-8, max_iter=60,
-                                          mu_strategy="probing"))
+                                          mu_strategy="mehrotra"))
     bs = make_batch_solver(problem, options, donate=False)
 
     rng = np.random.default_rng(0)

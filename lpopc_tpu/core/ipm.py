@@ -116,7 +116,9 @@ class IPMOptions:
     # the pure Newton step could remove, and set mu = (mu_aff/mu)^3 * mu.
     # This is IPOPT's other adaptive oracle; it front-loads large mu cuts on
     # well-centred problems where the monotone schedule spends iterations
-    # walking mu down one kappa_mu factor at a time).
+    # walking mu down one kappa_mu factor at a time), or "mehrotra"
+    # (probing plus the second-order corrector: per-bound complementarity
+    # targets mu - dg_aff*dz_aff, Gondzio-clipped to [0.1, 10] mu).
     mu_strategy: str = "monotone"
     # Feasibility restoration (IPOPT-style, invoked on filter deadlock at an
     # infeasible iterate): Gauss-Newton minimize-||c|| iterations reusing the
@@ -455,17 +457,21 @@ def build_solver(
             # plain sufficient decrease of θ instead of the filter test.
             jtv_lam = jtv_(lam)
 
-            def dual_rhs(mu_x):
-                mt = -jnp.where(has_lo, mu_x / gl, 0.0) + jnp.where(has_up, mu_x / gu, 0.0)
+            def dual_rhs(tl, tu):
+                """(a, b) for per-bound complementarity targets tl/tu (scalar
+                mu broadcasts; the Mehrotra corrector passes vectors)."""
+                mt = -jnp.where(has_lo, tl / gl, 0.0) + jnp.where(has_up, tu / gu, 0.0)
                 a_ = jnp.where(fixed[:n], 0.0, g_z + jtv_lam + mt[:n])
                 b_ = jnp.where(fixed[n:], 0.0, -lam + mt[n:])
                 a_ = jnp.where(in_resto & ~fixed[:n], mt[:n], a_)
                 b_ = jnp.where(in_resto & ~fixed[n:], mt[n:], b_)
                 return a_, b_, mt
 
-            probing = opt.mu_strategy == "probing"
+            corrector = opt.mu_strategy == "mehrotra"
+            probing = corrector or opt.mu_strategy == "probing"
+            ones_b = jnp.ones((n + m,), dtype)
             if not probing:
-                a, b, mu_term = dual_rhs(mu)
+                a, b, mu_term = dual_rhs(mu, mu)
 
             delta_c = opt.delta_c
 
@@ -502,7 +508,8 @@ def build_solver(
                     # iterates where it would slash complementarity get
                     # sigma ~ 0 (cut mu hard) — the front-loaded mu schedule
                     # the monotone rule walks down one kappa_mu at a time.
-                    a0, b0, _ = dual_rhs(jnp.zeros((), dtype))
+                    zero_mu = jnp.zeros((), dtype)
+                    a0, b0, _ = dual_rhs(zero_mu, zero_mu)
                     rhs_a = -a0 - jtv_(d * (r_p + b0 / sig_s))
                     # unrefined solve: the probe only steers mu, so the f64
                     # backward error of a single solve is plenty
@@ -549,9 +556,26 @@ def build_solver(
                         in_resto | (nb == 0) | ~jnp.all(jnp.isfinite(dwa)),
                         mu, mu_t,
                     )
-                    aa, bb, _ = dual_rhs(mu_t)
+                    if corrector:
+                        # Mehrotra second-order corrector: per-bound targets
+                        # mu_t - dg_aff * dz_aff (the complementarity the
+                        # affine step would leave behind), Gondzio-clipped to
+                        # [0.1, 10] mu_t so outliers cannot hijack the step.
+                        # Disabled while the probe is untrusted (same guard
+                        # as mu_t above: non-finite affine direction).
+                        guard = in_resto | ~jnp.all(jnp.isfinite(dwa))
+                        pl = jnp.where(has_lo & ~guard, dwa * dzl_a, 0.0)
+                        pu = jnp.where(has_up & ~guard, -dwa * dzu_a, 0.0)
+                        tl = jnp.clip(mu_t - pl, 0.1 * mu_t, 10.0 * mu_t)
+                        tu = jnp.clip(mu_t - pu, 0.1 * mu_t, 10.0 * mu_t)
+                    else:
+                        tl = mu_t * ones_b
+                        tu = mu_t * ones_b
+                    aa, bb, _ = dual_rhs(tl, tu)
                 else:
                     mu_t = mu
+                    tl = mu * ones_b
+                    tu = mu * ones_b
                     aa, bb = a, b
 
                 def csolve(ra, rb, rc):
@@ -650,31 +674,30 @@ def build_solver(
                     dlam = dlam + clam
                 ds = jnp.where(fixed[n:], 0.0, ds)
                 dz = jnp.where(fixed[:n], 0.0, dz)
-                return dz, ds, dlam, ok, (r0, r_end), mu_t
+                return dz, ds, dlam, ok, (r0, r_end), mu_t, tl, tu
 
             # regularization loop: grow delta_w until the factorization succeeds
             def reg_cond(carry):
-                k, delta_w, _, _, _, ok, _, _ = carry
+                k, delta_w, _, _, _, ok, _, _, _, _ = carry
                 return (~ok) & (k < opt.max_reg)
 
             def reg_body(carry):
-                k, delta_w, _, _, _, _, _, _ = carry
-                dz, ds, dlam, ok, diag, mu_t = make_step(delta_w)
+                k, delta_w = carry[0], carry[1]
+                dz, ds, dlam, ok, diag, mu_t, tl, tu = make_step(delta_w)
                 next_delta = jnp.where(
                     delta_w == 0.0,
                     jnp.maximum(opt.delta_w0, delta_last / 3.0),
                     delta_w * 10.0,
                 )
-                return (k + 1, next_delta, dz, ds, dlam, ok, diag, mu_t)
+                return (k + 1, next_delta, dz, ds, dlam, ok, diag, mu_t, tl, tu)
 
             zeros_n = jnp.zeros((n,), dtype)
             zeros_m = jnp.zeros((m,), dtype)
             zero_ = jnp.zeros((), dtype)
             k0 = (0, delta_start, zeros_n, zeros_m, zeros_m, jnp.asarray(False),
-                  (zero_, zero_), mu)
-            k, delta_next, dz, ds, dlam, ok, reg_diag, mu_u = jax.lax.while_loop(
-                reg_cond, reg_body, k0
-            )
+                  (zero_, zero_), mu, mu * ones_b, mu * ones_b)
+            (k, delta_next, dz, ds, dlam, ok, reg_diag, mu_u, tl_u,
+             tu_u) = jax.lax.while_loop(reg_cond, reg_body, k0)
             # mu actually used in this iteration's step: the probe's choice
             # under "probing", the incoming mu otherwise (mu_t == mu there).
             # Every downstream mu-consistent quantity (dual directions,
@@ -689,8 +712,11 @@ def build_solver(
             )
 
             dw = jnp.concatenate([dz, ds])
-            dzl_d = jnp.where(has_lo, mu_u / gl - zl_d - zl_d * dw / gl, 0.0)
-            dzu_d = jnp.where(has_up, mu_u / gu - zu_d + zu_d * dw / gu, 0.0)
+            # bound-dual directions recovered from the SAME per-bound targets
+            # the condensed solve eliminated them with (tl_u/tu_u == mu_u for
+            # every strategy except the mehrotra corrector)
+            dzl_d = jnp.where(has_lo, tl_u / gl - zl_d - zl_d * dw / gl, 0.0)
+            dzu_d = jnp.where(has_up, tu_u / gu - zu_d + zu_d * dw / gu, 0.0)
 
             # fraction-to-boundary
             tau = jnp.maximum(opt.tau_min, 1.0 - mu_u)

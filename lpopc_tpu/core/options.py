@@ -59,7 +59,7 @@ REGISTRY: tuple[OptionSpec, ...] = (
     OptionSpec("mu_init", "mu-init", float, 1e-1, 0.0, 10.0,
                doc="initial barrier parameter"),
     OptionSpec("mu_strategy", "mu-strategy", str, "monotone",
-               choices=("monotone", "adaptive", "probing"),
+               choices=("monotone", "adaptive", "probing", "mehrotra"),
                doc="barrier update rule (reference runs IPOPT mu_strategy="
                    "adaptive; 'probing' is the Mehrotra affine-scaling "
                    "mu-oracle, 'adaptive' the LOQO centrality rule)"),

@@ -42,3 +42,15 @@ def test_probing_registry_string():
 
     opts = from_reference_strings({"mu-strategy": "probing"})
     assert opts.ipm_options().mu_strategy == "probing"
+
+
+def test_mehrotra_corrector_same_answer_not_slower():
+    """probing + second-order corrector (the bench configuration): same
+    optimum, no extra iterations (measured r4: 13 vs probing's 14 on the
+    brachistochrone bench mesh)."""
+    s_me = _brach_sol(ipm_kw={"mu_strategy": "mehrotra"})
+    s_pr = _brach_sol(ipm_kw={"mu_strategy": "probing"})
+    s_mono = _brach_sol()
+    assert s_me.status == SOLVED
+    assert abs(s_me.objective - s_mono.objective) < 1e-7
+    assert s_me.iterations <= s_pr.iterations
