@@ -57,17 +57,37 @@ def test_matches_unsharded_batch(hybrid):
     st = np.asarray(res_h.status)
     assert np.all(st == SOLVED), st
 
-    from lpopc_tpu.parallel.batch import make_batch_solver
+    # The unsharded reference solve runs in a FRESH process
+    # (hybrid_reference_worker.py): XLA:CPU's compiler has segfaulted
+    # compiling this large block-KKT program late in a long-lived
+    # full-suite process, so the reference arm is isolated from
+    # accumulated in-process compiler state.
+    import os
+    import subprocess
+    import sys
+    import tempfile
 
-    bs = make_batch_solver(_problem(), _options())
-    res = bs.run(*args)
-    assert np.all(np.asarray(res.status) == SOLVED)
-    np.testing.assert_allclose(
-        np.asarray(res_h.objective), np.asarray(res.objective), rtol=1e-9
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_h.z), np.asarray(res.z), atol=1e-8
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.npz")
+        outp = os.path.join(td, "out.npz")
+        np.savez(inp, z0=z0, zl=zl, zu=zu, cl=cl, cu=cu,
+                 tf=40.0, degrees=np.full(16, 6))
+        env = dict(os.environ)
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "hybrid_reference_worker.py"),
+             inp, outp],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        ref = np.load(outp)
+        assert np.all(ref["status"] == SOLVED)
+        np.testing.assert_allclose(
+            np.asarray(res_h.objective), ref["objective"], rtol=1e-9
+        )
+        np.testing.assert_allclose(np.asarray(res_h.z), ref["z"], atol=1e-8)
 
 
 def test_actually_partitions_both_axes(hybrid):
